@@ -1,0 +1,90 @@
+"""Page-level extraction operators — pure Spark SQL expressions (JVM-side,
+whole-stage codegen; no Python in this hot path).
+
+- extract_text_from_html: byte-identical text per url (north-rule
+  invariant) — the html container wraps text between fixed markers, so
+  extraction is a deterministic substring, expressed with built-ins.
+- extract_geotag: lat/lon mined from text via regexp_extract.
+- encode_cell: lat/lon → cell id. The bit-interleave is done with a
+  vectorized pandas UDF (Arrow): Z-order interleave at res≤26 needs 52 bit
+  ops per row, which is cheaper in numpy than as a 52-term SQL expression
+  and stays fully batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from geotiff_spark.functions import cells as cellmod
+
+GEO_PATTERN = r"geo:\s*(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def extract_text_from_html(html_col: Column) -> Column:
+    """Recover text from the crawl html container byte-identically.
+
+    The container format puts the article body between '<article>' and
+    '</article>' (sources/pages.py template). substring_index is a JVM
+    built-in — predicate pushdown and codegen both survive.
+    """
+    s = F.decode(html_col, "UTF-8")
+    return F.substring_index(F.substring_index(s, "<article>", -1), "</article>", 1)
+
+
+def with_extracted_text(df: DataFrame, html: str = "html", out: str = "extracted_text") -> DataFrame:
+    return df.withColumn(out, extract_text_from_html(F.col(html)))
+
+
+def with_geotag(df: DataFrame, text: str = "text") -> DataFrame:
+    """Add lat/lon columns (NULL when the page carries no geotag)."""
+    lat = F.regexp_extract(F.col(text), GEO_PATTERN, 1)
+    lon = F.regexp_extract(F.col(text), GEO_PATTERN, 2)
+    return df.withColumn(
+        "lat", F.when(lat != "", lat.cast("double"))
+    ).withColumn(
+        "lon", F.when(lon != "", lon.cast("double"))
+    )
+
+
+def cell_udf(res: int):
+    @pandas_udf("long")
+    def encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(la) | np.isnan(lo))
+        out = np.full(la.shape, -1, dtype=np.int64)
+        if ok.any():
+            out[ok] = cellmod.latlon_to_cell(la[ok], lo[ok], res)
+        return pd.Series(out).where(pd.Series(ok))
+
+    return encode
+
+
+def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon",
+              out: str = "cell") -> DataFrame:
+    """Encode geotag into the cell id at resolution `res` (NULL-safe)."""
+    return df.withColumn(out, cell_udf(res)(F.col(lat), F.col(lon)))
+
+
+def with_cell_token(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon",
+                    out: str = "cell_token") -> DataFrame:
+    """Base-4 token variant — prefix-prunable partition key."""
+
+    @pandas_udf("string")
+    def encode(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(la) | np.isnan(lo))
+        out = np.full(la.shape, None, dtype=object)
+        if ok.any():
+            cell_ids = cellmod.latlon_to_cell(la[ok], lo[ok], res)
+            out[ok] = cellmod.cell_to_token(cell_ids)
+        return pd.Series(out)
+
+    return df.withColumn(out, encode(F.col(lat), F.col(lon)))

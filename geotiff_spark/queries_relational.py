@@ -1,0 +1,493 @@
+"""Relational operator surface (SURVEY.md §2.C) — each query as
+(PySpark DataFrame fn, DuckDB oracle SQL).
+
+Conventions for oracle parity:
+- every computed column aliased identically on both sides
+- double aggregates rounded to 4 decimals (summation order differs between
+  engines; exact decimal data keeps the rounded value stable)
+- timestamps surfaced as 'yyyy-MM-dd' strings (engine-neutral)
+- window orderings made total with key tiebreakers
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- scans / filters / projections ----------------------------------------
+
+def q_filter_project(spark, sf_dir):
+    """Pushdown-friendly filter + projection on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_rev"),
+        )
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * l_discount, 4) AS disc_rev
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 10
+"""
+
+
+# ---- aggregations ----------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: hash agg with partial/final (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                            AS avg_qty,
+       COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_region_nation(spark, sf_dir):
+    """Rollup hierarchy: acctbal by region → nation → grand total."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+SQL_ROLLUP_REGION_NATION = """
+SELECT r_name, n_name,
+       ROUND(SUM(c_acctbal), 4) AS sum_bal,
+       COUNT(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cube_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+SQL_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+SQL_DISTINCT_CUSTOMERS = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) — estimator-specific, no SQL oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cust"))
+
+
+# ---- joins -----------------------------------------------------------------
+
+def q_broadcast_join_brand_volume(spark, sf_dir):
+    """Small-dim broadcast equi-join: lineitem ⋈ part."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN_BRAND_VOLUME = """
+SELECT p_brand, ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_multi_join_revenue_by_region(spark, sf_dir):
+    """customer ⋈ orders ⋈ nation ⋈ region; shuffle join on the fact side,
+    broadcast dims; Catalyst free to reorder."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_MULTI_JOIN_REVENUE_BY_REGION = """
+SELECT r_name, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Customers having at least one 'O' order (left semi)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_cust
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no high-value order (left anti) — also the engine's
+    checkpoint-resume primitive (anti-join completed partitions)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Interval self-join: follow-up events within 5 minutes per user
+    (equi-key first, then the time range — avoids a nested-loop blowup)."""
+    e1 = _t(spark, sf_dir, "events").alias("e1")
+    e2 = _t(spark, sf_dir, "events").alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e1.event_id AS event_id, COUNT(*) AS n_follow
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.event_id
+"""
+
+
+def q_asof_latest_event(spark, sf_dir):
+    """As-of join shape: latest event per user at/before a cutoff."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= "2024-01-03 00:00:00"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_ASOF_LATEST_EVENT = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+) WHERE rn = 1
+"""
+
+
+# ---- windows ---------------------------------------------------------------
+
+def q_window_topn_orders(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (ranking window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+SQL_WINDOW_TOPN_ORDERS = """
+SELECT o_custkey, o_orderkey, rk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_window_lag_delta(spark, sf_dir):
+    """Analytic lag: per-user event value delta over time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.lag("value", 1).over(w), 4
+        ).alias("delta"),
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 4) AS delta
+FROM events
+"""
+
+
+def q_window_rolling_sum(spark, sf_dir):
+    """Frame spec: rolling 3-row sum per user ordered by time."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling3"),
+    )
+
+
+SQL_WINDOW_ROLLING_SUM = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+       AS rolling3
+FROM events
+"""
+
+
+# ---- sorts / top-k / set ops ------------------------------------------------
+
+def q_global_topk(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_GLOBAL_TOPK = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        a.union(b).distinct().exceptAll(a.intersect(b))
+        .withColumnRenamed("c_custkey", "key")
+    )
+
+
+SQL_SET_OPS = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey AS key FROM (
+  SELECT c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+  EXCEPT ALL
+  SELECT c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+)
+"""
+
+
+# ---- scalar functions --------------------------------------------------------
+
+def q_scalar_functions(spark, sf_dir):
+    """String / date / math / conditional built-ins, engine-neutral forms."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower(F.substring("o_orderpriority", 1, 5)).alias("prio5"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       LOWER(SUBSTRING(o_orderpriority, 1, 5)) AS prio5,
+       STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+       ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       o_orderstatus || '-' || o_orderpriority AS status_prio
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON-ish extraction from the props payload (regexp, both engines)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_val"),
+    )
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_id,
+       CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
+FROM events
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def relational_queries():
+    return {
+        "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+        "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
+        "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP_REGION_NATION),
+        "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
+        "distinct_customers": (q_distinct_customers, SQL_DISTINCT_CUSTOMERS),
+        "approx_distinct": (q_approx_distinct, None),
+        "broadcast_join_brand_volume": (
+            q_broadcast_join_brand_volume, SQL_BROADCAST_JOIN_BRAND_VOLUME),
+        "multi_join_revenue_by_region": (
+            q_multi_join_revenue_by_region, SQL_MULTI_JOIN_REVENUE_BY_REGION),
+        "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+        "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+        "range_join": (q_range_join, SQL_RANGE_JOIN),
+        "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST_EVENT),
+        "window_topn_orders": (q_window_topn_orders, SQL_WINDOW_TOPN_ORDERS),
+        "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
+        "window_rolling_sum": (q_window_rolling_sum, SQL_WINDOW_ROLLING_SUM),
+        "global_topk": (q_global_topk, SQL_GLOBAL_TOPK),
+        "set_ops": (q_set_ops, SQL_SET_OPS),
+        "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+        "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+        "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    }

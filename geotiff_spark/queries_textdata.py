@@ -1,0 +1,217 @@
+"""Training-data pipeline queries over documents/embeddings — dedup,
+similarity search, text analysis — each with a DuckDB oracle where the
+semantics are SQL-expressible (exact variants), rows-only otherwise
+(probabilistic LSH/simhash variants, which pytest verifies against the
+exact baselines instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geotiff_spark.operators import dedup, similarity, textstats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- dedup -------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    return dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+SQL_TOKEN_JACCARD_PAIRS = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Probabilistic candidate generation (no SQL oracle; recall tested in
+    pytest against the exact jaccard baseline)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---- similarity ---------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS nn_id,
+         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, nn_id, rank FROM (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate LSH variant (no oracle; pytest measures recall vs exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+# ---- text analysis -------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_scores(docs).select(
+        "doc_id", "score_en", "score_de", "score_fr", "score_es", "pred_lang"
+    )
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(list_filter("
+        f"string_split_regex(lower(text), '\\s+'), t -> t <> '')), [{words}]))"
+    )
+
+
+SQL_LANGUAGE_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_sql_stopword_hits('en')} AS score_en,
+         {_sql_stopword_hits('de')} AS score_de,
+         {_sql_stopword_hits('fr')} AS score_fr,
+         {_sql_stopword_hits('es')} AS score_es
+  FROM documents
+),
+long AS (
+  SELECT doc_id, 'en' AS l, score_en AS s FROM scored
+  UNION ALL SELECT doc_id, 'de', score_de FROM scored
+  UNION ALL SELECT doc_id, 'fr', score_fr FROM scored
+  UNION ALL SELECT doc_id, 'es', score_es FROM scored
+),
+best AS (
+  SELECT doc_id, l AS pred_lang FROM (
+    SELECT doc_id, l,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+    FROM long
+  ) WHERE rn = 1
+)
+SELECT s.doc_id AS doc_id, score_en, score_de, score_fr, score_es, pred_lang
+FROM scored s JOIN best USING (doc_id)
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(docs).select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_tok_len",
+        "digit_ratio", "stopword_ratio",
+    )
+
+
+SQL_QUALITY_FEATURES = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars_m,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+       ROUND(len(regexp_replace(text, '\s+', '', 'g')) / GREATEST(n_tokens, 1), 6) AS mean_tok_len,
+       ROUND(len(regexp_replace(text, '[^0-9]', '', 'g')) / GREATEST(n_chars_m, 1), 6) AS digit_ratio,
+       ROUND({_sql_stopword_hits('en')} / GREATEST(n_tokens, 1), 6) AS stopword_ratio
+FROM base
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS digest,
+       MIN(md5(substr(text, i, 20))) AS min_shingle_hash
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, GREATEST(len(text) - 19, 1) + 1)) AS i
+  FROM documents
+)
+GROUP BY doc_id, text
+"""
+
+
+def textdata_queries():
+    return {
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+        "simhash_pairs": (q_simhash_pairs, None),
+        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+        "ann_lsh_topk": (q_ann_lsh_topk, None),
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "language_id": (q_language_id, SQL_LANGUAGE_ID),
+        "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    }
