@@ -10,8 +10,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -68,25 +71,29 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
-    """Sign-LSH bucket id: bit i = sign(dot(vec, h_i)) with deterministic
-    pseudo-random hyperplanes h_i[j] = sin(seed + i*dim + j) (fixed,
-    reproducible, no stored model)."""
-    def plane_term(plane: int):
-        offset = float(seed + plane * dim)
-        return lambda x, j: x.cast("double") * F.sin(
-            F.lit(offset) + j.cast("double")
-        )
+def bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 1337):
+    """Sign-LSH buckets for all tables in one Arrow-batched pandas UDF:
+    one (dim x n_planes*n_tables) seeded-Gaussian matmul per batch.
+    Deterministic (fixed seed), no stored model — returns the per-table
+    bucket array for one explode + equi-join."""
+    planes = (
+        np.random.default_rng(seed)
+        .standard_normal((dim, n_planes * n_tables))
+        .astype(np.float64)
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        dot = F.aggregate(
-            F.transform(vec, plane_term(i)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    @pandas_udf("array<long>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy())
+        signs = (mat.astype(np.float64) @ planes) > 0
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        b = (signs * weights).sum(axis=2)
+        # table t gets its own bucket id space
+        b = b + (np.arange(n_tables, dtype=np.int64) << n_planes)
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_topk(
@@ -96,24 +103,28 @@ def lsh_topk(
     key: str = "vec_id",
     vec: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of same-bucket
-    vectors, exact cosine re-rank on candidates only."""
-    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qvec"))
-    c = corpus.select(F.col(key).alias("nn_id"), F.col(vec).alias("cvec"))
-
-    cand = None
-    for t in range(n_tables):
-        qb = q.withColumn("bucket", hyperplane_bucket(F.col("qvec"), dim, n_planes, seed=97 + t * 131))
-        cb = c.withColumn("bucket", hyperplane_bucket(F.col("cvec"), dim, n_planes, seed=97 + t * 131))
-        pairs = cb.join(F.broadcast(qb), "bucket").filter(
-            F.col("nn_id") != F.col("query_id")
-        ).select("query_id", "qvec", "nn_id", "cvec")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-
-    scored = cand.distinct().withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    vectors (one explode + equi-join), exact cosine re-rank on candidates
+    only. Recall tunes via (n_planes, n_tables)."""
+    bu = bucket_udf(dim, n_planes, n_tables)
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("qvec"),
+        F.explode(bu(F.col(vec))).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(key).alias("nn_id"), F.col(vec).alias("cvec"),
+        F.explode(bu(F.col(vec))).alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .select("query_id", "qvec", "nn_id", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,165 @@
+"""End-to-end Spark pipeline tests (SURVEY.md §5.3 items 3-4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "poly_id", "n_docs", "avg_value", "min_value", "max_value",
+    }
+
+
+def test_text_extraction_byte_identical(spark):
+    """north-rule invariant: extracted text == source text per url."""
+    from geotiff_spark.operators.extract import with_extracted_text
+    from geotiff_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 2000, partitions=4)
+    ext = with_extracted_text(pages)
+    bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+    # and not vacuous
+    assert ext.count() == 2000
+
+
+def test_geotag_extraction_roundtrip(spark):
+    """Geotag mined from text must reproduce the generator's coordinates
+    (5-decimal precision by construction)."""
+    from geotiff_spark.operators.extract import with_geotag
+    from geotiff_spark.sources.pages import synth_pages
+
+    pages = with_geotag(synth_pages(spark, 1000, partitions=2))
+    n_geo = pages.filter(F.col("lat").isNotNull()).count()
+    assert 0.5 * 1000 < n_geo < 0.7 * 1000  # GEO_FRACTION = 0.6
+    sample = pages.filter(F.col("lat").isNotNull()).limit(50).collect()
+    for r in sample:
+        assert f"geo: {r.lat:.5f},{r.lon:.5f}" in r.text
+
+
+def test_pages_deterministic_across_partitionings(spark):
+    from geotiff_spark.sources.pages import synth_pages
+
+    a = synth_pages(spark, 500, partitions=1).orderBy("url").collect()
+    b = synth_pages(spark, 500, partitions=7).orderBy("url").collect()
+    assert a == b
+
+
+def test_pip_join_matches_bruteforce(spark):
+    """Spark PIP join == driver-side brute force on the same pages."""
+    from geotiff_spark.functions import pip as P
+    from geotiff_spark.operators.extract import with_cell, with_geotag
+    from geotiff_spark.operators.spatial_join import pip_join
+    from geotiff_spark.sources.pages import synth_pages
+    from geotiff_spark.sources.polygons import synth_polygons
+
+    res = 7
+    pages = with_cell(with_geotag(synth_pages(spark, 3000, partitions=4)), res)
+    got = {
+        (r.url, r.poly_id)
+        for r in pip_join(spark, pages.filter(F.col("cell").isNotNull()), res)
+        .select("url", "poly_id")
+        .collect()
+    }
+
+    pts = pages.filter(F.col("lat").isNotNull()).select("url", "lat", "lon").collect()
+    urls = np.array([r.url for r in pts])
+    lat = np.array([r.lat for r in pts])
+    lon = np.array([r.lon for r in pts])
+    want = set()
+    for p in synth_polygons():
+        inside = P.points_in_polygon(
+            lon, lat, np.asarray(p["ring"]), [np.asarray(h) for h in p["holes"]]
+        )
+        for u in urls[inside]:
+            want.add((u, p["poly_id"]))
+    assert got == want
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    """Planted near-duplicates must be caught by the LSH path."""
+    from geotiff_spark.operators.dedup import minhash_lsh_pairs, token_jaccard_pairs
+
+    base = [
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon"),
+        ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen"),
+    ]
+    rows = []
+    doc_id = 0
+    for b in base:
+        toks = b.split()
+        for variant in range(6):
+            # drop one token -> jaccard ~ (n-1)/n
+            t = " ".join(toks[:variant] + toks[variant + 1:])
+            rows.append((doc_id, t))
+            doc_id += 1
+    # unrelated noise docs
+    for i in range(20):
+        rows.append((doc_id, f"noise{i} junk{i} filler{i} word{i}"))
+        doc_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in token_jaccard_pairs(df, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.7).collect()
+    }
+    assert lsh <= exact          # verified candidates never exceed exact
+    assert len(exact) >= 30      # the planted groups produce many pairs
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    from geotiff_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall(spark):
+    """Sign-LSH ANN recall vs brute force on real embeddings."""
+    from geotiff_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.nn_id)
+        for r in lsh_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # ANN tier: recall traded for cost
+
+
+def test_zonal_stats_flagship_deterministic(spark):
+    from geotiff_spark.pipeline import flagship
+
+    a = [tuple(r) for r in flagship(spark, SF).collect()]
+    b = [tuple(r) for r in flagship(spark, SF).collect()]
+    assert a == b
