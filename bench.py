@@ -1,0 +1,159 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...}
+
+The north-star metric (BASELINE.json) is pages/sec through the end-to-end
+spatial pipeline (text extraction + geotag + cell encode + PIP join); the
+pages table is generated deterministically once per sf and cached as
+parquet in /tmp so the benchmark measures the ENGINE, not the generator.
+
+Usage: python bench.py            # full suite, one JSON line
+       python bench.py --parallelism 8   # override cores (scaling runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
+
+
+def build_spark(cpus: int):
+    from geotiff_spark.session import get_spark
+
+    return get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra={"spark.sql.shuffle.partitions": str(max(cpus * 2, 8))},
+    )
+
+
+def ensure_pages(spark, sf: float, n_pages: int) -> str:
+    path = f"/tmp/geotiff_spark_bench/pages_sf{sf}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from geotiff_spark.sources.pages import synth_pages
+
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_queries(spark, sf_dir: str, pages_path: str, res: int = 7):
+    """name -> zero-arg callable returning a row count (forces execution)."""
+    from pyspark.sql import functions as F
+
+    from geotiff_spark.operators import extract as ex
+    from geotiff_spark.operators import spatial_join as sj
+    from geotiff_spark.queries import registry
+
+    reg = registry()
+
+    def pages_e2e():
+        pages = spark.read.parquet(pages_path)
+        # single-stage map-side broadcast PIP join (see fused_pages_pip)
+        hits = sj.fused_pages_pip(spark, pages, res)
+        return hits.groupBy("poly_id").agg(
+            F.count(F.lit(1)).alias("n_pages")
+        ).count()
+
+    def pages_e2e_twostage():
+        """Declarative two-stage variant (decode UDF + broadcast join +
+        refine UDF) — kept to quantify the fusion win."""
+        pages = spark.read.parquet(pages_path)
+        pages = ex.with_fused_geo(pages, res, carry=("url",))
+        hits = sj.pip_join(
+            spark, pages.select("url", "lat", "lon", "cell"), res
+        )
+        return hits.groupBy("poly_id").agg(
+            F.count(F.lit(1)).alias("n_pages")
+        ).count()
+
+    def raster_decode():
+        from geotiff_spark.sources.rasters import read_rasters
+
+        df = read_rasters(spark, "/root/reference/resources")
+        return df.filter(F.col("error").isNull()).count()
+
+    picks = [
+        "cell_assign", "pip_join", "pip_counts", "zonal_stats",
+        "agg_pricing_summary", "multi_join_revenue_by_region",
+        "window_topn_orders", "global_topk",
+        "exact_dedup", "ann_cosine_topk",
+        "token_count", "quality_features",
+    ]
+    def minhash_candidates():
+        """LSH candidate generation throughput (the scale-relevant cost;
+        the exact-verify variant's output size is a property of the
+        synthetic corpus, not the engine)."""
+        from geotiff_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, verify=False).count()
+
+    out = {
+        "pages_e2e": pages_e2e,
+        "pages_e2e_twostage": pages_e2e_twostage,
+        "raster_decode": raster_decode,
+        "minhash_candidates": minhash_candidates,
+    }
+    for name in picks:
+        fn, _sql = reg[name]
+        out[name] = (lambda f=fn: f(spark, sf_dir).count())
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_pages = int(PAGES_PER_SF * sf)
+
+    spark = build_spark(args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = ensure_pages(spark, sf, n_pages)
+
+    qs = bench_queries(spark, sf_dir, pages_path)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in qs.items():
+        if args.only and name not in args.only:
+            continue
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    pages_per_sec = (
+        round(n_pages / timings["pages_e2e"], 1) if "pages_e2e" in timings else None
+    )
+    print(json.dumps({
+        "metric": "headline suite wall time (pages e2e + spatial + relational + dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "pages_per_sec": pages_per_sec,
+        "parallelism": args.parallelism,
+        "row_counts": counts,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

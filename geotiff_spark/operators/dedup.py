@@ -82,15 +82,36 @@ def token_jaccard_pairs(
     )
 
 
+def shingles_df(
+    df: DataFrame, n: int = 3, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, shingle) distinct pairs: n-token shingles, JVM-side
+    (split → sequence → slice → concat_ws). Shingling is what makes
+    MinHash banding discriminative on small-vocabulary text."""
+    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return df.select(
+        F.col(key), F.explode(F.array_distinct(sh)).alias("token")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 64,
     text: str = "text",
     key: str = "doc_id",
+    shingle: int = 3,
 ) -> DataFrame:
     """MinHash signature columns sig_0..sig_{k-1}, entirely JVM-side:
-    sig_i = MIN over tokens of xxhash64(token, 'i'). One shuffle."""
-    toks = tokens_df(df, text, key)
+    sig_i = MIN over shingles of xxhash64(shingle, 'i'). One shuffle."""
+    toks = (
+        shingles_df(df, shingle, text, key)
+        if shingle > 1
+        else tokens_df(df, text, key)
+    )
     aggs = [
         F.min(F.xxhash64(F.col("token"), F.lit(str(i)))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -106,11 +127,13 @@ def minhash_lsh_pairs(
     text: str = "text",
     key: str = "doc_id",
     verify: bool = True,
+    shingle: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash, optionally verified
-    with exact token jaccard (verification only touches candidates)."""
+    """Candidate near-dup pairs via banded MinHash over n-token shingles,
+    optionally verified with exact token jaccard (verification only
+    touches candidates)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text, key)
+    sigs = minhash_signatures(df, num_hashes, text, key, shingle)
     band_cols = [
         F.xxhash64(
             *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -138,8 +161,29 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = token_jaccard_pairs(df, threshold, text, key)
-    return cand.join(exact, ["id_a", "id_b"], "inner")
+    # exact verify on CANDIDATES ONLY: join the token arrays back and
+    # compute jaccard with JVM array ops — cost is O(|candidates|), never
+    # the all-pairs token self-join
+    arrs = df.select(
+        F.col(key),
+        F.array_distinct(
+            F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = arrs.select(F.col(key).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = arrs.select(F.col(key).alias("id_b"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            n_inter
+            / (F.size("toks_a") + F.size("toks_b") - n_inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash_signatures(

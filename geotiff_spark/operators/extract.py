@@ -72,6 +72,75 @@ def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon",
     return df.withColumn(out, cell_udf(res)(F.col(lat), F.col(lon)))
 
 
+def with_fused_geo(
+    df: DataFrame,
+    res: int,
+    html: str = "html",
+    carry: tuple[str, ...] = ("url", "warc_ts", "lang"),
+    keep_html: bool = False,
+) -> DataFrame:
+    """Attach extracted_text/lat/lon/cell from html in one fused
+    mapInPandas pass.
+
+    mapInPandas, NOT a pandas_udf: EvalPythonExec buffers every input row
+    in a HybridRowQueue (spilling to disk) while Python computes — with a
+    multi-KB html column that queue dominates runtime (measured ~20× the
+    kernel cost at sf0.1). mapInPandas streams batches through with no
+    row queue; pass-through columns are declared explicitly.
+    """
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    import re
+
+    pat = re.compile(r"geo:\s*(-?\d+\.\d+),(-?\d+\.\d+)")
+    in_cols = [*carry, html]
+    carry_fields = [df.schema[c] for c in carry]
+    out_schema = StructType(
+        carry_fields
+        + ([df.schema[html]] if keep_html else [])
+        + [
+            StructField("extracted_text", StringType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            texts = []
+            lats = np.full(n, np.nan)
+            lons = np.full(n, np.nan)
+            for i, h in enumerate(pdf[html]):
+                s = bytes(h).decode("utf-8")
+                start = s.rfind("<article>")
+                start = start + 9 if start >= 0 else 0
+                end = s.find("</article>", start)
+                t = s[start:end] if end >= 0 else s[start:]
+                texts.append(t)
+                m = pat.search(t)
+                if m:
+                    lats[i] = float(m.group(1))
+                    lons[i] = float(m.group(2))
+            ok = ~np.isnan(lats)
+            # Int64 (masked): cell ids exceed 2^53 — no float intermediate
+            cell = pd.array(np.zeros(n, dtype=np.int64), dtype="Int64")
+            cell[~ok] = pd.NA
+            if ok.any():
+                cell[ok] = cellmod.latlon_to_cell(lats[ok], lons[ok], res)
+            out = pdf[list(carry) + ([html] if keep_html else [])].copy()
+            out["extracted_text"] = texts
+            out["lat"] = pd.Series(lats).where(pd.Series(ok))
+            out["lon"] = pd.Series(lons).where(pd.Series(ok))
+            out["cell"] = cell
+            yield out
+
+    return df.select(*in_cols).mapInPandas(run, schema=out_schema)
+
+
 def with_cell_token(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon",
                     out: str = "cell_token") -> DataFrame:
     """Base-4 token variant — prefix-prunable partition key."""
