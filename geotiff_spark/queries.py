@@ -54,12 +54,68 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.flagship(spark, sf_dir, res=7)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join via cell ring expansion (k=5, first 10 docs as
+    queries, planar-degree metric)."""
+    from geotiff_spark.operators.knn import knn_join
+
+    docs = pipeline.geo_documents(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < 10)
+    return knn_join(spark, docs, queries, k=5, res=7)
+
+
+KNN_ORACLE = f"""
+WITH pts AS (
+  SELECT doc_id, {oracle.LAT_SQL} AS lat, {oracle.LON_SQL} AS lon
+  FROM documents
+),
+q AS (SELECT doc_id AS qid, lat AS qlat, lon AS qlon FROM pts WHERE doc_id < 10),
+scored AS (
+  SELECT q.qid, p.doc_id AS nn_id,
+         SQRT((p.lat - q.qlat) * (p.lat - q.qlat)
+              + (p.lon - q.qlon) * (p.lon - q.qlon)) AS dist
+  FROM q, pts p
+  WHERE p.doc_id <> q.qid
+)
+SELECT qid, nn_id, ROUND(dist, 9) AS dist, rank FROM (
+  SELECT qid, nn_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nn_id ASC)
+         AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join — must equal the plain join exactly."""
+    from geotiff_spark.plans.salting import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"),
+                    "l_partkey", n_salt=4,
+                    hot=[1, 2, 3], salt_source="l_orderkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def spatial_queries() -> Registry:
     return {
         "cell_assign": (q_cell_assign, oracle.cell_sql(7)),
         "pip_join": (q_pip_join, oracle.pip_join_sql()),
         "pip_counts": (q_pip_counts, oracle.pip_counts_sql()),
         "zonal_stats": (q_zonal_stats, None),
+        "knn_join": (q_knn_join, KNN_ORACLE),
+        "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
     }
 
 
