@@ -161,15 +161,26 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # exact verify on CANDIDATES ONLY: join the token arrays back and
-    # compute jaccard with JVM array ops — cost is O(|candidates|), never
-    # the all-pairs token self-join
-    arrs = df.select(
-        F.col(key),
-        F.array_distinct(
+    # exact verify on CANDIDATES ONLY, in the same unit the signatures
+    # hash (n-token shingles): join the shingle arrays back and compute
+    # jaccard with JVM array ops — cost is O(|candidates|), never the
+    # all-pairs self-join
+    if shingle > 1:
+        toks_col = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+        set_col = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks_col) - F.lit(shingle - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i, shingle)),
+            )
+        )
+    else:
+        set_col = F.array_distinct(
             F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
-        ).alias("toks"),
-    )
+        )
+    arrs = df.select(F.col(key), set_col.alias("toks"))
     a = arrs.select(F.col(key).alias("id_a"), F.col("toks").alias("toks_a"))
     b = arrs.select(F.col(key).alias("id_b"), F.col("toks").alias("toks_b"))
     n_inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))

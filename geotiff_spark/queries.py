@@ -120,6 +120,34 @@ def spatial_queries() -> Registry:
 
 
 # --------------------------------------------------------------------------
+# Multimodal (deterministic fake containers; real codecs stubbed —
+# rows-only driver check, exactness tested in pytest vs local decode)
+# --------------------------------------------------------------------------
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_media(spark, 300))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotiff_spark.operators import multimodal as mm
+
+    return (
+        mm.sample_video_frames(mm.synth_media(spark, 300), every=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+    )
+
+
+def multimodal_queries() -> Registry:
+    return {
+        "image_features": (q_image_features, None),
+        "video_frame_sample": (q_video_frame_sample, None),
+    }
+
+
+# --------------------------------------------------------------------------
 # Assemble
 # --------------------------------------------------------------------------
 
@@ -132,4 +160,5 @@ def registry() -> Registry:
     from geotiff_spark.queries_textdata import textdata_queries
 
     reg.update(textdata_queries())
+    reg.update(multimodal_queries())
     return reg

@@ -1,0 +1,64 @@
+"""Multimodal plumbing: real schemas/batch shapes over the deterministic
+fake containers (real codecs stubbed — FIXTURES.md §6 environment)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_spark.operators import multimodal as mm
+
+
+def test_synth_media_deterministic(spark):
+    a = mm.synth_media(spark, 60, partitions=2).orderBy("media_id").collect()
+    b = mm.synth_media(spark, 60, partitions=5).orderBy("media_id").collect()
+    assert [(r.media_id, bytes(r.payload)) for r in a] == [
+        (r.media_id, bytes(r.payload)) for r in b
+    ]
+    kinds = {r.kind for r in a}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_image_features_match_local_decode(spark):
+    media = mm.synth_media(spark, 30)
+    feats = {r.media_id: r for r in mm.image_features(media).collect()}
+    assert len(feats) == 10  # every 3rd id is an image
+    for r in media.filter(F.col("kind") == "image").collect():
+        arr = mm.decode_image(bytes(r.payload))
+        f = feats[r.media_id]
+        assert (f.width, f.height) == (arr.shape[1], arr.shape[0])
+        np.testing.assert_allclose(
+            f.mean_rgb, arr.reshape(-1, 3).mean(axis=0), rtol=1e-12
+        )
+
+
+def test_resize_shapes(spark):
+    media = mm.synth_media(spark, 30)
+    out = mm.resize_images(media, 8, 8).collect()
+    assert len(out) == 10
+    for r in out:
+        arr = mm.decode_image(bytes(r.payload))
+        assert arr.shape == (8, 8, 3)
+
+
+def test_video_frame_sampling(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.sample_video_frames(media, every=2).collect()
+    metas = {
+        r.media_id: r.meta.n_frames
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    by_vid: dict[int, list[int]] = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(by_vid) == set(metas)
+    for vid, idxs in by_vid.items():
+        assert sorted(idxs) == list(range(0, metas[vid], 2))
+        arr = mm.decode_image(bytes(frames[0].frame))
+        assert arr.ndim == 3
+
+
+def test_real_codec_path_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")

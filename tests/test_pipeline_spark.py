@@ -115,14 +115,22 @@ def test_minhash_lsh_recall_on_near_dups(spark):
         (r.id_a, r.id_b)
         for r in token_jaccard_pairs(df, threshold=0.7).collect()
     }
+    # shingle=1: signatures and verify both on token sets — directly
+    # comparable to the exact baseline
     lsh = {
         (r.id_a, r.id_b)
-        for r in minhash_lsh_pairs(df, threshold=0.7).collect()
+        for r in minhash_lsh_pairs(df, threshold=0.7, shingle=1).collect()
     }
     assert lsh <= exact          # verified candidates never exceed exact
     assert len(exact) >= 30      # the planted groups produce many pairs
     recall = len(lsh) / len(exact)
     assert recall >= 0.9, recall
+    # shingled production path still catches the planted near-dup groups
+    shingled = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.6).collect()
+    }
+    assert len(shingled) >= 20
 
 
 def test_simhash_identical_docs_zero_distance(spark):

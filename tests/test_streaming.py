@@ -1,0 +1,136 @@
+"""Structured Streaming: streamed results must equal the batch results on
+the same data (the streaming kernels are the batch kernels)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from geotiff_spark.sources.pages import synth_pages
+
+    path = str(tmp_path_factory.mktemp("stream") / "pages")
+    # several files -> several micro-batches
+    synth_pages(spark, 3000, partitions=6).write.parquet(path)
+    return path
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_windowed_cell_counts_match_batch(spark, pages_dir):
+    from geotiff_spark.operators.extract import with_fused_geo
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, windowed_cell_counts,
+    )
+
+    stream = pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    # watermark covers the full 30-day generator window: no late drops,
+    # so streaming must equal batch exactly (late-drop behavior is
+    # asserted separately below)
+    # complete mode: emit the full aggregate regardless of watermark —
+    # exact parity with batch (append mode only emits closed windows;
+    # late-drop semantics are asserted separately below)
+    q = run_to_memory(
+        windowed_cell_counts(stream, res=6, window="6 hours",
+                             watermark="800 hours"),
+        "cell_counts", output_mode="complete",
+    )
+    _drain(q)
+    got = {
+        (r["window"]["start"], r["cell"]): r["n_pages"]
+        for r in spark.sql("SELECT * FROM cell_counts").collect()
+    }
+
+    batch = with_fused_geo(
+        spark.read.parquet(pages_dir), 6, carry=("url", "warc_ts")
+    ).filter(F.col("cell").isNotNull())
+    want = {
+        (r["window"]["start"], r["cell"]): r["n_pages"]
+        for r in batch.groupBy(
+            F.window("warc_ts", "6 hours").alias("window"), "cell"
+        )
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 10
+
+
+def test_tight_watermark_drops_late_rows(spark, pages_dir):
+    """With a tight watermark and time-unordered file arrival, late rows
+    are dropped — counts must be <= batch and strictly fewer rows total."""
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, windowed_cell_counts,
+    )
+
+    stream = pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    q = run_to_memory(
+        windowed_cell_counts(stream, res=6, window="6 hours",
+                             watermark="1 hour"),
+        "cell_counts_tight", output_mode="append",
+    )
+    _drain(q)
+    tight = spark.sql(
+        "SELECT COALESCE(SUM(n_pages), 0) AS t FROM cell_counts_tight"
+    ).collect()[0]["t"]
+    from geotiff_spark.operators.extract import with_fused_geo
+    from pyspark.sql import functions as F
+    full = (
+        with_fused_geo(spark.read.parquet(pages_dir), 6, carry=("url",))
+        .filter(F.col("cell").isNotNull())
+        .count()
+    )
+    assert tight < full
+
+
+def test_streaming_dedup(spark, pages_dir):
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, streaming_dedup,
+    )
+
+    stream = pages_stream(spark, pages_dir)
+    q = run_to_memory(streaming_dedup(stream), "deduped")
+    _drain(q)
+    n = spark.sql("SELECT COUNT(*) AS n FROM deduped").collect()[0]["n"]
+    n_urls = (
+        spark.read.parquet(pages_dir).select("url").distinct().count()
+    )
+    # urls are unique in the generator -> dedup keeps everything; the
+    # operator's correctness on real dups is covered below
+    assert n == n_urls
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    from geotiff_spark.sources.pages import synth_pages
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, streaming_dedup,
+    )
+
+    path = str(tmp_path / "dup_pages")
+    p = synth_pages(spark, 400, partitions=2)
+    p.union(p).write.parquet(path)  # exact duplicates
+    stream = pages_stream(spark, path)
+    q = run_to_memory(streaming_dedup(stream), "deduped2")
+    _drain(q)
+    n = spark.sql("SELECT COUNT(*) AS n FROM deduped2").collect()[0]["n"]
+    assert n == 400
+
+
+def test_session_windows_run(spark, pages_dir):
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, session_cell_activity,
+    )
+
+    q = run_to_memory(
+        session_cell_activity(pages_stream(spark, pages_dir), res=4),
+        "sessions",
+    )
+    _drain(q)
+    rows = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(n_pages) AS tot FROM sessions"
+    ).collect()[0]
+    assert rows["n"] > 0 and rows["tot"] > 0
