@@ -4,38 +4,48 @@ The cell token is a base-4 quadkey whose prefixes are valid coarser cells
 (geotiff_spark.functions.cells). Partitioning output by a token prefix
 gives spatial locality (co-located cells share files → partition pruning
 on spatial predicates), but a FIXED prefix depth either under-splits hot
-regions or over-splits empty ones. choose_prefix_depth measures the actual
-histogram and picks the shallowest depth whose largest bucket fits the
-target, deepening only where needed (hot prefixes get longer prefixes).
+regions or over-splits empty ones.
+
+One aggregation pass measures the histogram at the deepest depth; every
+coarser depth's histogram derives from it driver-side (prefix sums), so
+choosing the balanced depth and the hot prefixes costs a single Spark job
+regardless of how many depths are considered.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def prefix_histogram(df: DataFrame, token: str, depth: int) -> DataFrame:
+def deep_histogram(df: DataFrame, token: str, max_depth: int = 12) -> pd.DataFrame:
+    """(prefix@max_depth, n) — the one measured aggregation."""
     return (
-        df.groupBy(F.substring(F.col(token), 1, depth).alias("prefix"))
+        df.groupBy(F.substring(F.col(token), 1, max_depth).alias("prefix"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
     )
 
 
+def _histogram_at(hist: pd.DataFrame, depth: int) -> pd.Series:
+    return hist.groupby(hist["prefix"].str[:depth])["n"].sum()
+
+
 def choose_prefix_depth(
-    df: DataFrame,
-    token: str,
-    target_rows: int,
+    hist_or_df,
+    token: str | None = None,
+    target_rows: int = 100_000,
     max_depth: int = 12,
 ) -> int:
     """Shallowest depth whose largest prefix bucket ≤ target_rows."""
+    hist = (
+        hist_or_df
+        if isinstance(hist_or_df, pd.DataFrame) and "prefix" in hist_or_df
+        else deep_histogram(hist_or_df, token, max_depth)
+    )
     for depth in range(1, max_depth + 1):
-        biggest = (
-            prefix_histogram(df, token, depth)
-            .agg(F.max("n").alias("m"))
-            .collect()[0]["m"]
-        )
-        if biggest is None or biggest <= target_rows:
+        if _histogram_at(hist, depth).max() <= target_rows:
             return depth
     return max_depth
 
@@ -48,15 +58,17 @@ def adaptive_prefix_column(
     max_depth: int = 12,
     out: str = "cell_prefix",
 ) -> DataFrame:
-    """Variable-depth prefix: start at the shallowest uniform depth, then
-    extend the prefix a further 2 levels for hot prefixes (> target_rows).
-    Result: a partition key whose buckets are balanced against the
-    measured distribution — hot cities split finer, oceans stay coarse.
-    """
-    depth = base_depth or choose_prefix_depth(df, token, target_rows * 4, max_depth)
+    """Variable-depth prefix: shallowest uniform depth for the bulk, two
+    extra levels for prefixes still above target_rows. Balanced against
+    the measured distribution — hot cities split finer, oceans stay
+    coarse. Costs exactly one aggregation over df."""
+    hist = deep_histogram(df, token, max_depth)
+    depth = base_depth or choose_prefix_depth(
+        hist, target_rows=target_rows * 4, max_depth=max_depth
+    )
     deep = min(depth + 2, max_depth)
-    hist = prefix_histogram(df, token, depth)
-    hot = [r["prefix"] for r in hist.filter(F.col("n") > target_rows).collect()]
+    at_depth = _histogram_at(hist, depth)
+    hot = list(at_depth[at_depth > target_rows].index)
     col = F.when(
         F.substring(F.col(token), 1, depth).isin(hot) if hot else F.lit(False),
         F.substring(F.col(token), 1, deep),
