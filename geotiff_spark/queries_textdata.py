@@ -96,6 +96,109 @@ SELECT query_id, nn_id, rank FROM (
 """
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b) —
+    the embedding-space analog of text near-dup detection."""
+    from geotiff_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_dedup_keeper(spark, sf_dir):
+    """Near-dup clustering lite: every doc's keeper = min(doc_id) among
+    itself and its >=0.8-jaccard neighbors (one agg over the exact pairs).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+    neigh = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("n_id")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("n_id"))
+    )
+    return (
+        docs.join(neigh, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(F.min("n_id"), F.first("doc_id")).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.least(F.col("m"), F.col("doc_id")), F.col("doc_id")).alias("keeper_id"),
+        )
+    )
+
+
+SQL_DEDUP_KEEPER = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+),
+neigh AS (
+  SELECT id_a AS doc_id, id_b AS n_id FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS n_id FROM pairs
+)
+SELECT d.doc_id AS doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(n.n_id), d.doc_id)) AS keeper_id
+FROM documents d LEFT JOIN neigh n ON d.doc_id = n.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Web-corpus shape: per-source doc stats (regexp'd key + agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_URL_DOMAIN_STATS = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate LSH variant (no oracle; pytest measures recall vs exact)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -210,6 +313,9 @@ def textdata_queries():
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
         "ann_lsh_topk": (q_ann_lsh_topk, None),
+        "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+        "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
+        "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "language_id": (q_language_id, SQL_LANGUAGE_ID),
         "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),

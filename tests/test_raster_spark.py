@@ -1,0 +1,69 @@
+"""Raster sampling through the SPARK operator path must reproduce the
+reference's golden pixel values (the kernels are tested in test_decode;
+this pins the DataFrame plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_spark_sample_zh_dem_goldens(spark):
+    from geotiff_spark.operators.sample import with_raster_sample
+
+    pts = spark.createDataFrame(
+        [
+            (677575.0, 253000.0), (679250.0, 251875.0), (685700.0, 249450.0),
+            (0.0, 0.0),  # far out of bounds -> NULL
+        ],
+        ["x", "y"],
+    )
+    out = with_raster_sample(
+        pts, spark, ["/root/reference/resources/zh_dem_25.tif"],
+        "zh_dem_25.tif",
+    ).orderBy(F.desc("x")).collect()
+    by_xy = {(r.x, r.y): r.value for r in out}
+    assert by_xy[(677575.0, 253000.0)] == 551.0
+    assert by_xy[(679250.0, 251875.0)] == 530.0
+    assert by_xy[(685700.0, 249450.0)] == 587.0
+    assert by_xy[(0.0, 0.0)] is None or math.isnan(by_xy[(0.0, 0.0)])
+
+
+def test_spark_rasters_df_all_fixtures_decode(spark):
+    from geotiff_spark.sources.rasters import read_rasters, rasters_metadata
+
+    meta = rasters_metadata(
+        read_rasters(spark, "/root/reference/resources")
+    ).collect()
+    assert len(meta) == 9
+    errors = {r.raster_id: r.error for r in meta if r.error}
+    assert errors == {}, errors
+    dims = {r.raster_id: (r.width, r.height, r.num_samples, r.dtype) for r in meta}
+    assert dims["marbles.tif"] == (1419, 1001, 3, "u8")
+    assert dims["zh_dem_25.tif"] == (399, 366, 1, "i16")
+    assert dims["merc.tif"] == (200, 200, 1, "u8")
+
+
+def test_spark_multi_raster_routing(spark):
+    """Per-row raster routing: each row samples its own raster."""
+    from geotiff_spark.operators.sample import with_raster_sample
+
+    pts = spark.createDataFrame(
+        [
+            ("zh_dem_25.tif", 677575.0, 253000.0),
+            ("marbles.tif", 761.0, 599.0),
+        ],
+        ["rid", "x", "y"],
+    )
+    out = with_raster_sample(
+        pts, spark,
+        [
+            "/root/reference/resources/zh_dem_25.tif",
+            "/root/reference/resources/marbles.tif",
+        ],
+        F.col("rid"),
+    ).collect()
+    vals = {r.rid: r.value for r in out}
+    assert vals["zh_dem_25.tif"] == 551.0
+    assert vals["marbles.tif"] == 147.0  # band 0
