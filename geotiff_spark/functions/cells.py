@@ -96,6 +96,8 @@ def cell_to_token(cell) -> np.ndarray:
     """int64 cell id → base-4 token string (one digit per level, MSB
     first). Child tokens extend parent tokens — prefix-prunable."""
     res, ix, iy = cell_to_grid(cell)
+    if res.ndim and res.size == 0:
+        return np.empty(0, dtype="U1")
     res_scalar = int(res[0]) if res.ndim else int(res)
     if res.ndim and not (res == res_scalar).all():
         raise ValueError("mixed resolutions in one token batch")
