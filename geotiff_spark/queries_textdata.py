@@ -140,12 +140,12 @@ def q_dedup_keeper(spark, sf_dir):
     return (
         docs.join(neigh, "doc_id", "left")
         .groupBy("doc_id")
-        .agg(
-            F.least(F.min("n_id"), F.first("doc_id")).alias("m")
-        )
+        .agg(F.min("n_id").alias("min_neighbor"))
         .select(
             "doc_id",
-            F.coalesce(F.least(F.col("m"), F.col("doc_id")), F.col("doc_id")).alias("keeper_id"),
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("min_neighbor"), F.col("doc_id"))
+            ).alias("keeper_id"),
         )
     )
 
