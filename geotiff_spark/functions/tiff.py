@@ -285,6 +285,102 @@ def _resolve_dtype(ifd: Ifd) -> tuple[np.dtype, str]:
 
 
 # ---------------------------------------------------------------------------
+# Segment plan: per-strip/tile work units for distributed decode
+# ---------------------------------------------------------------------------
+
+def segment_plan(data: bytes, ifd: Ifd) -> tuple[dict, list[dict]]:
+    """Split one image into independently-decodable segments.
+
+    Returns (image_meta, segments): image_meta carries dims/spp/dtype/
+    compression/predictor/photometric; each segment dict holds the byte
+    range plus placement (y0/x0/rows/cols/band). Segments decode in any
+    order on any executor and reassemble by placement — the engine's
+    within-file parallelism for large rasters (SURVEY.md B2).
+    """
+    width = ifd.scalar(TAG_IMAGE_WIDTH)
+    height = ifd.scalar(TAG_IMAGE_LENGTH)
+    spp = ifd.scalar(TAG_SAMPLES_PER_PIXEL, 1)
+    compression = ifd.scalar(TAG_COMPRESSION, COMPRESSION_NONE)
+    predictor = ifd.scalar(TAG_PREDICTOR, 1)
+    planar = ifd.scalar(TAG_PLANAR_CONFIG, 1)
+    photometric = ifd.scalar(TAG_PHOTOMETRIC, 1)
+    dtype, dtype_name = _resolve_dtype(ifd)
+    meta = {
+        "width": width, "height": height, "num_samples": spp,
+        "dtype": dtype_name, "dtype_np": dtype.str,
+        "compression": compression, "predictor": predictor,
+        "planar": planar, "photometric": photometric,
+    }
+    segs: list[dict] = []
+    tiled = ifd.values(TAG_TILE_OFFSETS) is not None
+    if tiled:
+        tw = ifd.scalar(TAG_TILE_WIDTH)
+        th = ifd.scalar(TAG_TILE_LENGTH)
+        offsets = ifd.values(TAG_TILE_OFFSETS)
+        counts = ifd.values(TAG_TILE_BYTE_COUNTS)
+        tiles_across = -(-width // tw)
+        per_plane = tiles_across * (-(-height // th))
+        bands = range(spp) if planar == 2 else [None]
+        for bi, band in enumerate(bands):
+            for t in range(per_plane):
+                idx = bi * per_plane + t
+                ty, tx = divmod(t, tiles_across)
+                segs.append({
+                    "offset": offsets[idx], "nbytes": counts[idx],
+                    "rows": th, "cols": tw,
+                    "spp": 1 if band is not None else spp,
+                    "y0": ty * th, "x0": tx * tw, "band": band,
+                })
+    else:
+        offsets = ifd.values(TAG_STRIP_OFFSETS)
+        counts = ifd.values(TAG_STRIP_BYTE_COUNTS)
+        rows_per_strip = ifd.scalar(TAG_ROWS_PER_STRIP, height)
+        strips_per_band = -(-height // rows_per_strip)
+        bands = range(spp) if planar == 2 else [None]
+        for bi, band in enumerate(bands):
+            for s in range(strips_per_band):
+                idx = bi * strips_per_band + s
+                y0 = s * rows_per_strip
+                segs.append({
+                    "offset": offsets[idx], "nbytes": counts[idx],
+                    "rows": min(rows_per_strip, height - y0), "cols": width,
+                    "spp": 1 if band is not None else spp,
+                    "y0": y0, "x0": 0, "band": band,
+                })
+    return meta, segs
+
+
+def decode_planned_segment(seg_bytes: bytes, meta: dict, seg: dict) -> np.ndarray:
+    """Decode one planned segment's raw bytes to its placed array."""
+    dtype = np.dtype(meta["dtype_np"])
+    return _decode_segment(
+        seg_bytes, 0, len(seg_bytes), meta["compression"], dtype,
+        seg["rows"], seg["cols"], seg["spp"], meta["predictor"],
+    )
+
+
+def assemble_segments(
+    meta: dict, pieces: list[tuple[dict, np.ndarray]]
+) -> np.ndarray:
+    """Place decoded segments into the full (h, w, spp) chunky array and
+    apply whole-image semantics (WhiteIsZero inversion)."""
+    h, w, spp = meta["height"], meta["width"], meta["num_samples"]
+    native = np.dtype(meta["dtype_np"]).newbyteorder("=")
+    out = np.empty((h, w, spp), dtype=native)
+    for seg, arr in pieces:
+        y0, x0 = seg["y0"], seg["x0"]
+        ys = min(arr.shape[0], h - y0)
+        xs = min(arr.shape[1], w - x0)
+        if seg["band"] is None:
+            out[y0 : y0 + ys, x0 : x0 + xs, :] = arr[:ys, :xs, :]
+        else:
+            out[y0 : y0 + ys, x0 : x0 + xs, seg["band"]] = arr[:ys, :xs, 0]
+    if meta["photometric"] == 0:
+        out = _invert_white_is_zero(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Image decode
 # ---------------------------------------------------------------------------
 

@@ -67,3 +67,20 @@ def test_spark_multi_raster_routing(spark):
     vals = {r.rid: r.value for r in out}
     assert vals["zh_dem_25.tif"] == 551.0
     assert vals["marbles.tif"] == 147.0  # band 0
+
+
+def test_parallel_strip_decode_bit_identical(spark):
+    """Strip-parallel ingest must produce byte-identical rasters to the
+    per-file path (SURVEY.md B2 within-file parallelism)."""
+    from geotiff_spark.sources.rasters import read_rasters, read_rasters_parallel
+
+    a = {r.raster_id: r for r in read_rasters(
+        spark, "/root/reference/resources").collect()}
+    b = {r.raster_id: r for r in read_rasters_parallel(
+        spark, "/root/reference/resources").collect()}
+    assert set(a) == set(b) and len(a) == 9
+    for k in a:
+        assert a[k].error == b[k].error
+        assert a[k].data == b[k].data
+        assert a[k].extent == b[k].extent
+        assert a[k].geo_keys == b[k].geo_keys
