@@ -94,6 +94,51 @@ def hot_cells_stream(
     return counts.filter(F.col("n_pages") >= threshold)
 
 
+def running_cell_counts(
+    stream: DataFrame,
+    res: int = 7,
+    watermark: str = "800 hours",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-cell RUNNING
+    page count across micro-batches — state the built-in windowed aggs
+    can't express (a monotone accumulator emitted every batch).
+
+    Output per (cell, batch): rows_in_batch + running_total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from geotiff_spark.operators.extract import with_fused_geo
+
+    geo = with_fused_geo(stream, res, carry=("url", "warc_ts")).filter(
+        F.col("cell").isNotNull()
+    )
+    geo = geo.withWatermark("warc_ts", watermark)
+
+    def update(key, pdfs, state):
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += batch_rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "cell": [key[0]],
+                "batch_rows": [batch_rows],
+                "running_total": [total],
+            }
+        )
+
+    return geo.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, batch_rows long, running_total long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ):

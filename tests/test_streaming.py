@@ -134,3 +134,34 @@ def test_session_windows_run(spark, pages_dir):
         "SELECT COUNT(*) AS n, SUM(n_pages) AS tot FROM sessions"
     ).collect()[0]
     assert rows["n"] > 0 and rows["tot"] > 0
+
+
+def test_running_cell_counts_stateful(spark, pages_dir):
+    """Custom applyInPandasWithState operator: final running totals must
+    equal the batch per-cell counts, with state carried across batches."""
+    from geotiff_spark.operators.extract import with_fused_geo
+    from geotiff_spark.streaming.ingest import (
+        pages_stream, run_to_memory, running_cell_counts,
+    )
+
+    stream = pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = run_to_memory(running_cell_counts(stream, res=6), "running")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM running").collect()
+    finals: dict[int, int] = {}
+    multi_batch = 0
+    for r in rows:
+        finals[r.cell] = max(finals.get(r.cell, 0), r.running_total)
+    per_cell_updates = {}
+    for r in rows:
+        per_cell_updates[r.cell] = per_cell_updates.get(r.cell, 0) + 1
+    multi_batch = sum(1 for v in per_cell_updates.values() if v > 1)
+
+    batch = (
+        with_fused_geo(spark.read.parquet(pages_dir), 6, carry=("url",))
+        .filter(F.col("cell").isNotNull())
+        .groupBy("cell").count().collect()
+    )
+    want = {r.cell: r["count"] for r in batch}
+    assert finals == want
+    assert multi_batch > 0  # state genuinely carried across micro-batches
