@@ -164,10 +164,117 @@ def _parse_one_ifd(data: bytes, bo: str, offset: int) -> tuple[Ifd, int]:
 # Decompressors
 # ---------------------------------------------------------------------------
 
+_LZW_BASE = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
+def _lzw_extract_codes_numpy(src: bytes, start_bit: int) -> tuple[np.ndarray, int]:
+    """Extract one clear-to-clear segment's codes vectorized.
+
+    Within a segment (after a Clear) the EarlyChange width schedule is
+    closed-form: the table holds 258 + max(j−1, 0) entries after the j-th
+    data code, and the width bumps when the table size reaches 2^w − 1.
+    Returns (codes ending at Clear/EOI/end-of-data, next start_bit).
+    """
+    b = np.frombuffer(src, dtype=np.uint8)
+    total_bits = len(b) * 8
+    codes_out = []
+    pos = start_bit
+    # j = number of data codes consumed so far in this segment
+    j = 0
+    width = 9
+    # width-w block ends when 258 + (j_end - 1) == (1 << w) - 1
+    while pos + width <= total_bits:
+        j_end = (1 << width) - 1 - 258 + 1  # first j at the next width
+        n_here = max(j_end - j, 1) if width < 12 else ((total_bits - pos) // width)
+        n_fit = (total_bits - pos) // width
+        n = min(n_here, n_fit)
+        if n <= 0:
+            break
+        offs = pos + width * np.arange(n, dtype=np.int64)
+        byte0 = offs >> 3
+        # gather 3 bytes covering any ≤12-bit window
+        b0 = b[byte0].astype(np.uint32)
+        b1 = b[np.minimum(byte0 + 1, len(b) - 1)].astype(np.uint32)
+        b2 = b[np.minimum(byte0 + 2, len(b) - 1)].astype(np.uint32)
+        window = (b0 << 16) | (b1 << 8) | b2
+        shift = (24 - width - (offs & 7)).astype(np.uint32)
+        vals = (window >> shift) & ((1 << width) - 1)
+        # stop at the first control code (Clear=256 or EOI=257); larger
+        # values are ordinary table codes
+        ctrl = np.nonzero((vals == 256) | (vals == 257))[0]
+        if len(ctrl):
+            first = int(ctrl[0])
+            codes_out.append(vals[: first + 1])
+            pos += width * (first + 1)
+            return np.concatenate(codes_out).astype(np.int64), pos
+        codes_out.append(vals)
+        pos += width * n
+        j += n
+        if width < 12 and j >= (1 << width) - 1 - 258 + 1:
+            width += 1
+    if codes_out:
+        return np.concatenate(codes_out).astype(np.int64), pos
+    return np.empty(0, dtype=np.int64), pos
+
+
 def lzw_decode(src: bytes) -> bytes:
     """TIFF-variant LZW: MSB-first codes, 9→12-bit growth with EarlyChange
     (width bump when the next assignable code reaches 2^w − 1),
-    Clear=256 / EOI=257. Verified bit-exact vs marbles.tif goldens."""
+    Clear=256 / EOI=257. Verified bit-exact vs marbles.tif goldens.
+
+    Fast path: vectorized code extraction per clear-to-clear segment
+    (numpy) + a tight scalar table-expansion loop. Falls back to the
+    scalar reference loop for streams that don't start with Clear.
+    """
+    if len(src) == 0:
+        return b""
+    # fast path requires the stream to start with a Clear code (the TIFF
+    # encoder always emits one); otherwise use the scalar loop
+    first_code = (src[0] << 1 | (src[1] >> 7 if len(src) > 1 else 0)) & 0x1FF
+    if first_code != 256:
+        return _lzw_decode_scalar(src)
+
+    out_parts: list[bytes] = []
+    pos = 9  # past the leading Clear
+    n = len(src) * 8
+    while pos + 9 <= n:
+        codes, pos = _lzw_extract_codes_numpy(src, pos)
+        if len(codes) == 0:
+            break
+        clist = codes.tolist()
+        table = list(_LZW_BASE)
+        tlen = 258
+        prev = None
+        stop = False
+        for code in clist:
+            if code == 257:  # EOI
+                stop = True
+                break
+            if code == 256:  # Clear: next segment re-extracts
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < tlen:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                tlen += 1
+            elif code == tlen:
+                entry = prev + prev[:1]
+                table.append(entry)
+                tlen += 1
+            else:
+                raise TiffDecodeError(f"LZW code {code} out of range")
+            out_parts.append(entry)
+            prev = entry
+        if stop:
+            break
+        if clist and clist[-1] == 257:
+            break
+    return b"".join(out_parts)
+
+
+def _lzw_decode_scalar(src: bytes) -> bytes:
+    """Reference scalar loop (fallback; also the spec oracle in tests)."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
