@@ -140,10 +140,40 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tiling + per-tile pruning stats over the reference corpus
+    (rows-only: raster decode not SQL-expressible; tiling round-trip and
+    pruning soundness pinned in pytest)."""
+    from geotiff_spark.operators.tiling import raster_to_tiles, tile_stats
+    from geotiff_spark.sources.rasters import read_rasters
+
+    rasters = read_rasters(spark, "/root/reference/resources")
+    return tile_stats(raster_to_tiles(rasters, tile_size=256))
+
+
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per order status."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+SQL_MEDIAN_PRICE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def multimodal_queries() -> Registry:
     return {
         "image_features": (q_image_features, None),
         "video_frame_sample": (q_video_frame_sample, None),
+        "tile_stats": (q_tile_stats, None),
+        "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
 
 
