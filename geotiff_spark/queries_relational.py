@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geotiff_spark import oracle as _oracle
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -466,6 +468,122 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_pivot_status_by_priority(spark, sf_dir):
+    """Pivot (crosstab): order counts, status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    for p in prios:
+        piv = piv.withColumnRenamed(p, f"n_{p[0]}").withColumn(
+            f"n_{p[0]}", F.coalesce(F.col(f"n_{p[0]}"), F.lit(0))
+        )
+    return piv
+
+
+SQL_PIVOT_STATUS_BY_PRIORITY = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS n_1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS n_2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS n_3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS n_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_window_distribution(spark, sf_dir):
+    """Distribution windows: ntile / percent_rank / cume_dist."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def q_top_tokens(spark, sf_dir):
+    """Explode (UDTF shape): global top-20 document tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TOP_TOKENS = r"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_haversine_to_vienna(spark, sf_dir):
+    """Great-circle distance (haversine, km) from each geo document to
+    Vienna — math built-ins only, op order mirrored in the oracle."""
+    from geotiff_spark.pipeline import geo_documents
+
+    d = geo_documents(spark, sf_dir)
+    lat1, lon1 = F.radians(F.col("lat")), F.radians(F.col("lon"))
+    lat2, lon2 = F.radians(F.lit(48.2082)), F.radians(F.lit(16.3738))
+    a = (
+        F.sin((lat2 - lat1) / 2) * F.sin((lat2 - lat1) / 2)
+        + F.cos(lat1) * F.cos(lat2)
+        * F.sin((lon2 - lon1) / 2) * F.sin((lon2 - lon1) / 2)
+    )
+    dist = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+    return d.select(
+        "doc_id", F.round(dist, 6).alias("dist_km")
+    ).filter(F.col("dist_km") < 500)
+
+
+SQL_HAVERSINE_TO_VIENNA = f"""
+WITH pts AS (
+  SELECT doc_id,
+         RADIANS({_oracle.LAT_SQL}) AS lat1,
+         RADIANS({_oracle.LON_SQL}) AS lon1,
+         RADIANS(48.2082) AS lat2, RADIANS(16.3738) AS lon2
+  FROM documents
+),
+dists AS (
+  SELECT doc_id,
+         ROUND(2.0 * 6371.0 * ASIN(SQRT(
+           SIN((lat2 - lat1) / 2) * SIN((lat2 - lat1) / 2)
+           + COS(lat1) * COS(lat2)
+             * SIN((lon2 - lon1) / 2) * SIN((lon2 - lon1) / 2)
+         )), 6) AS dist_km
+  FROM pts
+)
+SELECT doc_id, dist_km FROM dists WHERE dist_km < 500
+"""
+
+
 def relational_queries():
     return {
         "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
@@ -490,4 +608,9 @@ def relational_queries():
         "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
         "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
         "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+        "pivot_status_by_priority": (
+            q_pivot_status_by_priority, SQL_PIVOT_STATUS_BY_PRIORITY),
+        "window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+        "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+        "haversine_to_vienna": (q_haversine_to_vienna, SQL_HAVERSINE_TO_VIENNA),
     }
