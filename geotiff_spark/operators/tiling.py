@@ -129,6 +129,86 @@ def tile_stats(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(run, schema=schema)
 
 
+def build_pyramid(
+    tiles: DataFrame, levels: int = 3, tile_size: int = 256
+) -> DataFrame:
+    """Tile pyramid (overview levels): level k+1 halves level k by 2×2
+    mean (integer floor-mean for integer dtypes — deterministic).
+
+    Level-0 tiles in → all levels out with a `level` column. Each level
+    derives from the previous by one grouped shuffle on the parent tile
+    key: 4 child tiles (2×2 block) aggregate into one parent tile — a
+    logarithmic number of shrinking jobs, classic map-reduce pyramid.
+    """
+    from pyspark.sql.types import IntegerType
+
+    levelled = tiles.withColumn("level", F.lit(0))
+    out = levelled
+    schema = StructType(
+        [StructField("level", IntegerType())] + TILE_SCHEMA.fields
+    )
+
+    def downsample(key, pdf):
+        from geotiff_spark.functions.tiff import NUMPY_BY_NAME
+
+        rid, lvl, px, py = key
+        dt = NUMPY_BY_NAME[pdf["dtype"].iloc[0]]
+        spp = int(pdf["num_samples"].iloc[0])
+        # assemble the up-to-2x2 parent block from child tiles
+        full = np.zeros((2 * tile_size, 2 * tile_size, spp), dtype=dt)
+        max_y = max_x = 0
+        for _, t in pdf.iterrows():
+            block = np.frombuffer(bytes(t["data"]), dtype=dt).reshape(
+                t["tile_h"], t["tile_w"], spp
+            )
+            oy = (int(t["tile_y"]) % 2) * tile_size
+            ox = (int(t["tile_x"]) % 2) * tile_size
+            full[oy : oy + t["tile_h"], ox : ox + t["tile_w"]] = block
+            max_y = max(max_y, oy + int(t["tile_h"]))
+            max_x = max(max_x, ox + int(t["tile_w"]))
+        full = full[:max_y, :max_x]
+        # pad odd dims so the 2x2 mean is defined at edges
+        ph, pw = -(-full.shape[0] // 2) * 2, -(-full.shape[1] // 2) * 2
+        if (ph, pw) != full.shape[:2]:
+            padded = np.zeros((ph, pw, spp), dtype=dt)
+            padded[: full.shape[0], : full.shape[1]] = full
+            # replicate edge rows/cols so padding doesn't bias the mean
+            if ph > full.shape[0]:
+                padded[full.shape[0]:, : full.shape[1]] = full[-1:]
+            if pw > full.shape[1]:
+                padded[:, full.shape[1]:] = padded[:, full.shape[1] - 1 : full.shape[1]]
+            full = padded
+        down = (
+            full.reshape(ph // 2, 2, pw // 2, 2, spp)
+            .astype(np.float64)
+            .mean(axis=(1, 3))
+        )
+        if np.issubdtype(dt, np.integer):
+            down = np.floor(down)
+        down = down.astype(dt)
+        return pd.DataFrame([{
+            "level": int(lvl) + 1,
+            "raster_id": rid,
+            "tile_x": int(px), "tile_y": int(py),
+            "tile_w": down.shape[1], "tile_h": down.shape[0],
+            "num_samples": spp,
+            "dtype": pdf["dtype"].iloc[0],
+            "data": np.ascontiguousarray(down).tobytes(),
+        }])
+
+    current = levelled
+    for _lvl in range(levels):
+        parents = (
+            current.withColumn("px", (F.col("tile_x") / 2).cast("int"))
+            .withColumn("py", (F.col("tile_y") / 2).cast("int"))
+            .groupBy("raster_id", "level", "px", "py")
+            .applyInPandas(downsample, schema=schema)
+        )
+        out = out.unionByName(parents)
+        current = parents
+    return out
+
+
 def vectorize_threshold(
     rasters: DataFrame, res: int, threshold: float, sample: int = 0
 ) -> DataFrame:
