@@ -94,6 +94,57 @@ def with_raster_sample(
     return df.withColumn(out, udf(rid_col, F.col(x), F.col(y)))
 
 
+def sample_exact_udf(spark: SparkSession, records: dict[str, dict], sample: int = 0):
+    """Exact-value variant: returns struct<dtype, int_val (decimal(20,0)),
+    float_val> so u64 samples above 2^63 and i64 extremes survive without
+    a float round trip (SURVEY.md §1.3 / hard part #4 — Spark has no
+    unsigned types; DecimalType(20,0) holds the full u64 range).
+    """
+    bc = spark.sparkContext.broadcast(records)
+
+    @pandas_udf("struct<dtype:string,int_val:decimal(20,0),float_val:double>")
+    def sample_value(raster_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        from decimal import Decimal
+
+        recs = bc.value
+        xs = x.to_numpy(dtype=np.float64)
+        ys = y.to_numpy(dtype=np.float64)
+        rids = raster_id.to_numpy()
+        out_dtype = np.full(len(xs), None, dtype=object)
+        out_int = np.full(len(xs), None, dtype=object)
+        out_float = np.full(len(xs), np.nan)
+        for rid in pd.unique(rids):
+            rec = recs.get(rid)
+            if rec is None:
+                continue
+            mask = rids == rid
+            dt = np.dtype(rec["dtype"])
+            flat = np.frombuffer(rec["data"], dtype=dt)
+            kind, coeffs = rec["transform"]
+            idx, valid = tf.sample_indices(
+                kind, coeffs, rec["width"], rec["height"],
+                rec["num_samples"], rec["raster_type"],
+                xs[mask], ys[mask], sample,
+            )
+            vals = flat[idx]
+            midx = np.nonzero(mask)[0]
+            for j, (v, ok) in enumerate(zip(vals, valid)):
+                if not ok:
+                    continue
+                i = midx[j]
+                out_dtype[i] = dt.name
+                if dt.kind in "ui":
+                    out_int[i] = Decimal(int(v))
+                    out_float[i] = float(v)
+                else:
+                    out_float[i] = float(v)
+        return pd.DataFrame(
+            {"dtype": out_dtype, "int_val": out_int, "float_val": out_float}
+        )
+
+    return sample_value
+
+
 def zonal_stats(joined: DataFrame, value: str = "value", key: str = "poly_id") -> DataFrame:
     """Zonal statistics: sample join → groupBy(polygon).agg — the raster
     zonal-stats operator (SURVEY.md §2.C aggregations). Partial aggregation

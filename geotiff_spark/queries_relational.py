@@ -584,6 +584,34 @@ SELECT doc_id, dist_km FROM dists WHERE dist_km < 500
 """
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q17): revenue of lineitems whose
+    quantity is below 50% of the per-part average — expressed as join
+    against the per-part aggregate (Catalyst's decorrelated form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice), 4) AS revenue, COUNT(*) AS n_lines
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT AVG(l_quantity) * 0.5 FROM lineitem i
+  WHERE i.l_partkey = l.l_partkey
+)
+"""
+
+
 def relational_queries():
     return {
         "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
@@ -613,4 +641,6 @@ def relational_queries():
         "window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
         "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
         "haversine_to_vienna": (q_haversine_to_vienna, SQL_HAVERSINE_TO_VIENNA),
+        "small_quantity_revenue": (
+            q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
     }

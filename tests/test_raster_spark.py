@@ -84,3 +84,33 @@ def test_parallel_strip_decode_bit_identical(spark):
         assert a[k].data == b[k].data
         assert a[k].extent == b[k].extent
         assert a[k].geo_keys == b[k].geo_keys
+
+
+def test_exact_u64_sampling(spark, tmp_path):
+    """u64 samples above 2^63 must survive exactly (no float/long round
+    trip) through the exact sampling struct."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotiff_spark.operators.sample import load_raster_records, sample_exact_udf
+    from tiff_writer import write_tiff
+
+    arr = np.array(
+        [[2**64 - 1, 2**63 + 12345], [7, 2**53 + 1]], dtype=np.uint64
+    )
+    p = tmp_path / "u64.tif"
+    p.write_bytes(write_tiff(arr, rows_per_strip=1))
+    records = load_raster_records([str(p)])
+    udf = sample_exact_udf(spark, records)
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (1.5, 0.5), (0.5, 1.5), (1.5, 1.5), (9.0, 9.0)],
+        ["x", "y"],
+    )
+    out = pts.withColumn("s", udf(F.lit("u64.tif"), "x", "y")).collect()
+    got = {(r.x, r.y): r.s for r in out}
+    assert int(got[(0.5, 0.5)].int_val) == 2**64 - 1
+    assert int(got[(1.5, 0.5)].int_val) == 2**63 + 12345
+    assert int(got[(0.5, 1.5)].int_val) == 7
+    assert int(got[(1.5, 1.5)].int_val) == 2**53 + 1  # float64 would round this
+    assert got[(9.0, 9.0)].dtype is None  # out of bounds
+    assert got[(0.5, 0.5)].dtype == "uint64"
