@@ -154,9 +154,6 @@ def read_rasters_parallel(
     """
     import json
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     from geotiff_spark.functions import geokeys, tiff, transforms
 
     seg_schema = StructType([

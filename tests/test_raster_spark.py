@@ -114,3 +114,31 @@ def test_exact_u64_sampling(spark, tmp_path):
     assert int(got[(1.5, 1.5)].int_val) == 2**53 + 1  # float64 would round this
     assert got[(9.0, 9.0)].dtype is None  # out of bounds
     assert got[(0.5, 0.5)].dtype == "uint64"
+
+
+def test_persisted_rasters_table_roundtrip(spark, tmp_path):
+    """The 100 TB architecture: decode once, persist the rasters table,
+    sample from the persisted form — golden pixel values must survive the
+    parquet round trip (binary data + transform + raster_type)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotiff_spark.functions import transforms as T
+    from geotiff_spark.functions.tiff import NUMPY_BY_NAME
+    from geotiff_spark.sources.rasters import read_rasters
+
+    out = str(tmp_path / "rasters_table")
+    read_rasters(spark, "/root/reference/resources").write.parquet(out)
+    persisted = spark.read.parquet(out)
+    row = persisted.filter(F.col("raster_id") == "zh_dem_25.tif").collect()[0]
+
+    flat = np.frombuffer(bytes(row.data), dtype=NUMPY_BY_NAME[row.dtype])
+    idx, valid = T.sample_indices(
+        row.transform.kind, list(row.transform.coeffs),
+        row.width, row.height, row.num_samples, row.raster_type,
+        np.array([677575.0, 679250.0, 685700.0]),
+        np.array([253000.0, 251875.0, 249450.0]),
+        0,
+    )
+    assert valid.all()
+    assert flat[idx].tolist() == [551, 530, 587]
