@@ -101,9 +101,11 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select("qid", "nn_id", "dist", "rank")
         )
-        # safety bound: points outside disk-r are at least (r·cell_h −
-        # intra-cell slack) away; require kth_dist strictly inside
-        safe = float(max(radius - 1, 0)) * cell_h_deg
+        # safety bound: a point outside disk-r differs by ≥ r+1 cells on
+        # some axis, so even with worst-case intra-cell positions its
+        # planar-degree distance is ≥ r · min-cell-extent (lat extent —
+        # lon cells are 2× wider in degrees)
+        safe = float(radius) * cell_h_deg
         stats = (
             topk.groupBy("qid")
             .agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth"))

@@ -88,3 +88,32 @@ def test_cover_has_interior_cells_for_big_polygons():
         np.asarray(big["ring"]), [], 9
     )
     assert (~boundary).sum() > 0  # interior fast path actually engages
+
+
+def test_cell_cover_exactness_random_polygons():
+    """Cover+refine == direct PIP for random star-shaped polygons across
+    resolutions (boundary classification must be conservative-correct)."""
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n_vert = int(rng.integers(3, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_vert))
+        rad = rng.uniform(0.3, 3.0, n_vert)
+        cx, cy = float(rng.uniform(-30, 30)), float(rng.uniform(-50, 50))
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        res = int(rng.integers(5, 10))
+        cell_ids, boundary = P.polygon_cell_cover(ring, [], res)
+        cover = dict(zip(cell_ids.tolist(), boundary.tolist()))
+
+        px = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, 500)
+        py = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, 500)
+        direct = P.points_in_polygon(px, py, ring, [])
+        cells_of_pts = C.latlon_to_cell(py, px, res)
+        for i, cid in enumerate(cells_of_pts.tolist()):
+            b = cover.get(cid)
+            if b is None:
+                got = False
+            elif not b:
+                got = True
+            else:
+                got = bool(P.points_in_polygon(px[i:i+1], py[i:i+1], ring, [])[0])
+            assert got == direct[i], (trial, res, px[i], py[i])
