@@ -171,3 +171,16 @@ def test_zonal_stats_flagship_deterministic(spark):
     a = [tuple(r) for r in flagship(spark, SF).collect()]
     b = [tuple(r) for r in flagship(spark, SF).collect()]
     assert a == b
+
+
+def test_pip_join_left_keeps_nongeotagged(spark):
+    from geotiff_spark.operators.extract import with_fused_geo
+    from geotiff_spark.operators.spatial_join import pip_join
+    from geotiff_spark.sources.pages import synth_pages
+
+    pages = with_fused_geo(synth_pages(spark, 800, partitions=2), 7,
+                           carry=("url",))
+    left = pip_join(spark, pages, 7, how="left")
+    assert left.count() >= 800  # every page kept (hits may fan out)
+    n_no_geo = pages.filter(F.col("cell").isNull()).count()
+    assert left.filter(F.col("poly_id").isNull()).count() >= n_no_geo
