@@ -1,14 +1,17 @@
-"""Page-level extraction operators — pure Spark SQL expressions (JVM-side,
-whole-stage codegen; no Python in this hot path).
+"""Page-level extraction operators.
 
-- extract_text_from_html: byte-identical text per url (north-rule
-  invariant) — the html container wraps text between fixed markers, so
-  extraction is a deterministic substring, expressed with built-ins.
-- extract_geotag: lat/lon mined from text via regexp_extract.
-- encode_cell: lat/lon → cell id. The bit-interleave is done with a
-  vectorized pandas UDF (Arrow): Z-order interleave at res≤26 needs 52 bit
-  ops per row, which is cheaper in numpy than as a 52-term SQL expression
-  and stays fully batched.
+Two tiers (see PLANS.md §1 for the measurements that drove this):
+
+- Composable JVM expressions (extract_text_from_html, with_geotag) plus a
+  vectorized cell-encode pandas UDF — byte-identical text per url
+  (north-rule invariant), whole-stage codegen, ideal when each column is
+  consumed once.
+- with_fused_geo: ONE mapInPandas pass html → (text, lat, lon, cell) —
+  the hot-path form. Catalyst inlines duplicated expression chains into
+  every consumer (the html decode ran ~10× per row in the composed form),
+  and pandas_udf row queues buffer fat columns; the fused stage decodes
+  each page exactly once and streams. Extraction is byte-identical to the
+  JVM form (tested).
 """
 
 from __future__ import annotations

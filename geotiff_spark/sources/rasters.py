@@ -1,11 +1,12 @@
 """Raster ingest: binaryFile scan → mapInPandas decode → rasters DataFrame.
 
 Engine equivalent of GeoTiff::read (/root/reference/src/lib.rs:49-84), run
-once per file on executors. Decode is a whole-file kernel (the reference has
-no windowed read either), so the unit of parallelism is the file; Spark's
-binaryFile source distributes files across partitions, and at 100 TB the
-rasters table is written once to Parquet and reused — the decode cost is
-paid one time per raster, not per query.
+once per file on executors. read_rasters parallelizes across FILES (the
+common corpus shape); read_rasters_parallel parallelizes WITHIN files at
+strip/tile granularity (bit-identical, for corpora of few huge rasters).
+At 100 TB the rasters table is written once to Parquet and reused — the
+decode cost is paid one time per raster, not per query (persisted-table
+sampling is golden-tested).
 
 Schema (SURVEY.md §1.3): data carried as raw native-endian numpy bytes +
 dtype tag. Spark has no unsigned types, so u16..u64 must NOT round-trip
