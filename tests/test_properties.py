@@ -62,16 +62,18 @@ def test_packbits_roundtrip(data):
 @settings(max_examples=200, deadline=None)
 def test_affine_roundtrip(a, b, c, d, e, f, x, y):
     det = a * e - b * d
-    if abs(det) < 1e-3:
-        return
+    mag = max(abs(a), abs(b), abs(d), abs(e), 1e-9)
+    if abs(det) < 1e-2 * mag * mag:
+        return  # ill-conditioned: roundtrip error is unbounded by design
     # row-major 4x4 layout expected by affine_from_matrix
     m = [a, b, 0.0, c, d, e, 0.0, f, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
     kind, coeffs = T.affine_from_matrix(m)
     mx, my = T.to_model(kind, coeffs, [x], [y])
     rx, ry = T.to_raster(kind, coeffs, mx, my)
-    scale = max(abs(x), abs(y), 1.0)
-    assert abs(rx[0] - x) < 1e-6 * scale
-    assert abs(ry[0] - y) < 1e-6 * scale
+    # error scales with the model-space magnitude over the conditioning
+    scale = max(abs(x), abs(y), abs(c), abs(f), 1.0) * (mag * mag / abs(det))
+    assert abs(rx[0] - x) < 1e-7 * scale
+    assert abs(ry[0] - y) < 1e-7 * scale
 
 
 def test_lzw_roundtrip_via_reference_fixture():
