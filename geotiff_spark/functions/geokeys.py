@@ -119,16 +119,25 @@ def parse_geo_key_directory(
         elif kind == "double":
             if location != 34736:
                 raise GeoKeyError(f"key {key_id}: expected GeoDoubleParams location")
-            if value_offset + count > len(doubles):
+            # reference requires exactly one value per DOUBLE key
+            # (geo_key_directory.rs get_double: count != 1 is an error)
+            if count != 1:
+                raise GeoKeyError(
+                    f"key {key_id}: unexpected count: expected 1, got {count}"
+                )
+            if value_offset >= len(doubles):
                 raise GeoKeyError(f"key {key_id}: double index out of range")
-            vals = doubles[value_offset : value_offset + count]
-            value = vals[0] if count == 1 else list(vals)
+            value = doubles[value_offset]
         elif kind == "ascii":
             if location != 34737:
                 raise GeoKeyError(f"key {key_id}: expected GeoAsciiParams location")
-            # trailing '|' terminator dropped: end = offset + count - 1
+            # trailing '|' terminator dropped: end = offset + count - 1;
+            # reference requires start < len AND end < len
+            # (geo_key_directory.rs get_string)
             end = value_offset + count - 1
-            if end > len(ascii_params) or value_offset > end:
+            if value_offset >= len(ascii_params):
+                raise GeoKeyError(f"key {key_id}: ascii start offset out of range")
+            if end >= len(ascii_params) or value_offset > end:
                 raise GeoKeyError(f"key {key_id}: ascii slice out of range")
             value = ascii_params[value_offset:end]
         else:  # pragma: no cover

@@ -233,13 +233,33 @@ def simhash_pairs(
     pigeonhole trick: split 64 bits into (max_hamming+1) segments — any
     pair within distance shares at least one exact segment → equi-join on
     (segment_id, segment_bits), then exact popcount filter."""
+    return simhash_pairs_from_sigs(
+        simhash_signatures(df, text, key), max_hamming, key
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Pigeonhole Hamming search over a precomputed (key, simhash) table —
+    the bucketing core of simhash_pairs, testable with crafted signatures."""
     segs = max_hamming + 1
     width = 64 // segs
-    sigs = simhash_signatures(df, text, key)
+    # mask, not `%`: Spark's % keeps the dividend's sign, so negative
+    # simhashes would bucket differently from positives with identical
+    # low bits, silently breaking the pigeonhole exact-recall guarantee.
+    # The last segment absorbs the remainder bits so the segments tile
+    # all 64 bits (otherwise diffs in uncovered high bits escape the
+    # pigeonhole argument when 64 % segs != 0).
+    def _seg_width(i: int) -> int:
+        return 64 - i * width if i == segs - 1 else width
+
     seg_cols = [
         (
             F.shiftrightunsigned(F.col("simhash"), i * width)
-            % F.lit(2 ** width)
+            .bitwiseAND(F.lit(2 ** _seg_width(i) - 1))
         ).alias(f"seg_{i}")
         for i in range(segs)
     ]

@@ -111,8 +111,11 @@ def knn_join(
             .agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth"))
             .collect()
         )
+        # strict <: a corpus point at exactly the safety radius with a
+        # smaller id could displace the k-th neighbor under the
+        # (dist, nn_id) tie-break — force one more expansion on ties
         settled_ids = {
-            r["qid"] for r in stats if r["n"] >= k and r["kth"] <= safe
+            r["qid"] for r in stats if r["n"] >= k and r["kth"] < safe
         }
         if _round == max_rounds - 1:
             settled_ids = {r["qid"] for r in stats} | settled_ids

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -144,7 +144,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("mean_rgb", ArrayType(DoubleType())),
+        # scalar per-channel means (not array<double>): flat columns
+        # sort/hash cleanly in any downstream canonicalizer
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
         StructField("std_gray", DoubleType()),
     ]
 )
@@ -158,14 +162,15 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 arr = decode_image(bytes(payload))
+                means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
                 rows.append(
                     {
                         "media_id": int(mid),
                         "width": arr.shape[1],
                         "height": arr.shape[0],
-                        "mean_rgb": arr.reshape(-1, arr.shape[2])
-                        .mean(axis=0)
-                        .tolist(),
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]) if len(means) > 1 else None,
+                        "mean_b": float(means[2]) if len(means) > 2 else None,
                         "std_gray": float(arr.mean(axis=2).std()),
                     }
                 )

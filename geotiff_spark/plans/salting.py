@@ -64,8 +64,18 @@ def salted_join(
     deterministic within a run but not across runs — pass a real column
     for reproducible plans).
 
-    Result rows are EXACTLY those of big.join(small, key, how).
+    Result rows are EXACTLY those of big.join(small, key, how) for
+    inner/left joins. Right/full outer are rejected: an unmatched hot
+    small-side row is exploded n_salt times and every copy would surface
+    as its own outer row — not equivalent to the plain join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left-flavored joins only, got {how!r}: "
+            "unmatched exploded small-side rows would duplicate under "
+            "right/full outer"
+        )
     if hot is None:
         hot = hot_keys(big, key)
     if not hot:

@@ -59,6 +59,35 @@ def test_geo_key_length_mismatch():
         parse_geo_key_directory([1, 1, 0, 2, 1024, 0, 1, 1], [], "")
 
 
+def test_double_key_count_must_be_one():
+    # reference get_double: count != 1 -> error (geo_key_directory.rs:498-502)
+    with pytest.raises(GeoKeyError, match="expected 1, got 2"):
+        parse_geo_key_directory(
+            [1, 1, 0, 1, 2059, 34736, 2, 0], [1.0, 2.0], ""
+        )
+
+
+def test_double_key_single_value():
+    out = parse_geo_key_directory(
+        [1, 1, 0, 1, 2059, 34736, 1, 1], [0.0, 298.25], ""
+    )
+    assert out["geog_inv_flattening"] == 298.25
+
+
+def test_ascii_key_end_must_be_strictly_inside():
+    # reference get_string: end = offset + count - 1 must be < len
+    # (geo_key_directory.rs:536-542) — end == len is an error
+    with pytest.raises(GeoKeyError, match="ascii slice out of range"):
+        parse_geo_key_directory([1, 1, 0, 1, 1026, 34737, 4, 0], [], "ab|")
+    out = parse_geo_key_directory([1, 1, 0, 1, 1026, 34737, 3, 0], [], "ab|")
+    assert out["citation"] == "ab"
+
+
+def test_ascii_key_start_out_of_range():
+    with pytest.raises(GeoKeyError, match="ascii start offset out of range"):
+        parse_geo_key_directory([1, 1, 0, 1, 1026, 34737, 1, 5], [], "ab|")
+
+
 def test_sample_out_of_bounds_message_matches_reference():
     """The panic message format from /root/reference/src/lib.rs:149-153."""
     from geotiff_spark.functions.geotiff import get_values_at

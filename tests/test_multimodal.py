@@ -29,7 +29,9 @@ def test_image_features_match_local_decode(spark):
         f = feats[r.media_id]
         assert (f.width, f.height) == (arr.shape[1], arr.shape[0])
         np.testing.assert_allclose(
-            f.mean_rgb, arr.reshape(-1, 3).mean(axis=0), rtol=1e-12
+            [f.mean_r, f.mean_g, f.mean_b],
+            arr.reshape(-1, 3).mean(axis=0),
+            rtol=1e-12,
         )
 
 

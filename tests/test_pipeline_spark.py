@@ -147,6 +147,52 @@ def test_simhash_identical_docs_zero_distance(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_mixed_sign_segments(spark):
+    """Pigeonhole recall must survive sign-bit diffs: a pair whose only
+    clean segment is segment 0 and whose signs differ (the sign bit is one
+    of the diffs) was silently missed when segments used signed `%`."""
+    from geotiff_spark.operators.dedup import simhash_pairs_from_sigs
+
+    base = 0x0000_0000_0000_1234
+    # diffs in segments 1 (bit 17), 2 (bit 33), 3 (bit 63 = sign bit):
+    # hamming 3, only segment 0 is identical, signs differ
+    other = base ^ (1 << 17) ^ (1 << 33) ^ (1 << 63)
+    a = np.int64(np.uint64(base)).item()
+    b = np.int64(np.uint64(other)).item()
+    assert (a >= 0) != (b >= 0)
+    sigs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "simhash"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 3
+
+
+def test_simhash_segments_tile_all_64_bits(spark):
+    """With 64 % segs != 0 the last segment must absorb the high bits —
+    a pair differing only in bits above segs*width must still be found."""
+    from geotiff_spark.operators.dedup import simhash_pairs_from_sigs
+
+    # max_hamming=4 -> 5 segments of width 12 (covering 60 bits) + the
+    # remainder: put all 4 diffs in bits 60..63
+    a = np.int64(np.uint64(0x0123456789ABCDEF & 0x0FFF_FFFF_FFFF_FFFF)).item()
+    b = np.int64(np.uint64(a) ^ np.uint64(0xF000_0000_0000_0000)).item()
+    sigs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "simhash"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=4).collect()
+    }
+    assert pairs.get((1, 2)) == 4
+
+
+def test_salted_join_rejects_outer(spark):
+    from geotiff_spark.plans.salting import salted_join
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", hot=[1], how="full")
+
+
 def test_lsh_topk_recall(spark):
     """Sign-LSH ANN recall vs brute force on real embeddings."""
     from geotiff_spark.operators.similarity import brute_force_topk, lsh_topk
