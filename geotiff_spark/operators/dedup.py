@@ -82,20 +82,44 @@ def token_jaccard_pairs(
     )
 
 
-def shingles_df(
-    df: DataFrame, n: int = 3, text: str = "text", key: str = "doc_id"
-) -> DataFrame:
-    """(key, shingle) distinct pairs: n-token shingles, JVM-side
-    (split → sequence → slice → concat_ws). Shingling is what makes
-    MinHash banding discriminative on small-vocabulary text."""
+def _shingle_array(text: str, n: int):
+    """Row-local n-token shingle set as an array<string> Column, JVM-side
+    (split → sequence → slice → concat_ws → array_distinct)."""
     toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    if n <= 1:
+        return F.array_distinct(toks)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    return F.array_distinct(sh)
+
+
+def shingles_df(
+    df: DataFrame, n: int = 3, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, shingle) distinct pairs: n-token shingles, JVM-side.
+    Shingling is what makes MinHash banding discriminative on
+    small-vocabulary text."""
     return df.select(
-        F.col(key), F.explode(F.array_distinct(sh)).alias("token")
+        F.col(key), F.explode(_shingle_array(text, n)).alias("token")
     )
+
+
+def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-shift hash family: odd multipliers + offsets
+    derived from splitmix64 of the hash index."""
+
+    def mix(x: np.ndarray) -> np.ndarray:
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    idx = np.arange(num_hashes, dtype=np.uint64)
+    mult = mix(idx) | np.uint64(1)          # odd -> bijective mod 2^64
+    add = mix(idx + np.uint64(0x1000))
+    return mult, add
 
 
 def minhash_signatures(
@@ -105,18 +129,40 @@ def minhash_signatures(
     key: str = "doc_id",
     shingle: int = 3,
 ) -> DataFrame:
-    """MinHash signature columns sig_0..sig_{k-1}, entirely JVM-side:
-    sig_i = MIN over shingles of xxhash64(shingle, 'i'). One shuffle."""
-    toks = (
-        shingles_df(df, shingle, text, key)
-        if shingle > 1
-        else tokens_df(df, text, key)
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("token"), F.lit(str(i)))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return toks.groupBy(key).agg(*aggs)
+    """(key, sigs: array<long>) MinHash signatures with ZERO shuffle.
+
+    The signature is row-local, so no explode/groupBy: the shingle array
+    is built JVM-side, one xxhash64 pass produces a base hash per shingle
+    (still JVM-side), and all `num_hashes` minwise values come from one
+    Arrow-batched numpy pass — sig_i = min over shingles of
+    (mult_i * h + add_i mod 2^64), a bijective multiply-shift re-hash of
+    the base hash. At 10^12 docs this stage is a pure map: the only
+    shuffle left in LSH dedup is the banded candidate join.
+    """
+    mult, add = _minhash_params(num_hashes)
+
+    @pandas_udf("array<long>")
+    def sigs_udf(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        if (lens == 0).any():
+            raise ValueError("empty shingle set (shingle array must be non-empty)")
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes]
+        ).view(np.uint64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.empty((n, num_hashes), dtype=np.uint64)
+        for i in range(num_hashes):
+            v = mult[i] * flat + add[i]      # wraps mod 2^64 by design
+            out[:, i] = np.minimum.reduceat(v, starts)
+        signed = out.view(np.int64)
+        return pd.Series(list(signed))
+
+    base = F.transform(_shingle_array(text, shingle), lambda s: F.xxhash64(s))
+    return df.select(F.col(key), sigs_udf(base).alias("sigs"))
 
 
 def minhash_lsh_pairs(
@@ -134,29 +180,46 @@ def minhash_lsh_pairs(
     touches candidates)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, text, key, shingle)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(key), *band_cols)
-    stacked = banded.select(
+    # band hash = xxhash64 of the band's signature slice (hashing the
+    # array directly — identical sig slices collide, which is the LSH
+    # semantics; `sigs` is a materialized column so slices are cheap)
+    stacked = sigs.select(
         F.col(key),
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("h"))
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("h"),
+                )
                 for b in range(bands)
             ])
         ).alias("band"),
     ).select(key, "band.band_id", "band.h")
 
-    a = stacked.withColumnRenamed(key, "id_a")
-    b = stacked.withColumnRenamed(key, "id_b")
+    # bucket-local pair generation instead of a self-join: a self-join
+    # would evaluate the signature stage twice (no exchange reuse across
+    # the a/b renames) and shuffle the stacked rows twice. One groupBy on
+    # (band_id, band_hash) + an in-bucket pair explode is a single
+    # shuffle and a single signature pass. Bucket sizes are bounded by
+    # near-dup cluster sizes (run exact_dedup first — its job upstream).
+    ids = F.array_sort(F.col("ids"))
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band_id", "h"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        stacked.groupBy("band_id", "h")
+        .agg(F.collect_list(key).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if not verify:
@@ -165,22 +228,7 @@ def minhash_lsh_pairs(
     # hash (n-token shingles): join the shingle arrays back and compute
     # jaccard with JVM array ops — cost is O(|candidates|), never the
     # all-pairs self-join
-    if shingle > 1:
-        toks_col = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
-        set_col = F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks_col) - F.lit(shingle - 1), F.lit(1)),
-                ),
-                lambda i: F.concat_ws(" ", F.slice(toks_col, i, shingle)),
-            )
-        )
-    else:
-        set_col = F.array_distinct(
-            F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
-        )
-    arrs = df.select(F.col(key), set_col.alias("toks"))
+    arrs = df.select(F.col(key), _shingle_array(text, shingle).alias("toks"))
     a = arrs.select(F.col(key).alias("id_a"), F.col("toks").alias("toks_a"))
     b = arrs.select(F.col(key).alias("id_b"), F.col("toks").alias("toks_b"))
     n_inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
