@@ -168,6 +168,29 @@ def disk_cells(cell: int, k: int) -> np.ndarray:
     return np.unique(grid_to_cell(nx[keep], ny[keep], res))
 
 
+def disk_cells_many(cells: np.ndarray, k: int) -> list[np.ndarray]:
+    """Vectorized disk_cells over a batch of SAME-resolution cell ids:
+    one (2k+1)² offset grid broadcast against the whole batch (the per-row
+    form the kNN join's Arrow batches need). Longitude wraps, latitude
+    clips — identical semantics to disk_cells."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if cells.size == 0:
+        return []
+    res, ix, iy = cell_to_grid(cells)
+    r0 = int(res[0])
+    if not (res == r0).all():
+        raise ValueError("mixed resolutions in one disk_cells_many batch")
+    n = 1 << r0
+    d = np.arange(-k, k + 1)
+    dxs, dys = np.meshgrid(d, d)
+    dxs, dys = dxs.ravel(), dys.ravel()
+    nx = (ix[:, None] + dxs[None, :]) % n
+    ny = iy[:, None] + dys[None, :]
+    keep = (ny >= 0) & (ny < n)
+    ids = grid_to_cell(nx, np.clip(ny, 0, n - 1), r0)
+    return [np.unique(ids[i][keep[i]]) for i in range(cells.size)]
+
+
 def cell_size_degrees(res: int) -> tuple[float, float]:
     """(lat_extent, lon_extent) of one cell at res, in degrees."""
     n = float(1 << res)

@@ -1,14 +1,20 @@
-"""kNN join via cell ring expansion (north rule).
+"""kNN join via cell ring expansion (north rule) — fully distributed.
 
 Candidates for each query point come from the grid cells within Chebyshev
 ring radius r of the query's cell (the cell analog of the reference's
 R-tree envelope search, /root/reference/src/coordinate_transform/
 tie_points.rs:188-192); exact distances rank the candidates, and the
 result is EXACT because a query only settles at radius r when its k-th
-neighbor distance is within the ring-r safety bound (points outside the
-disk are provably farther). Unsettled queries escalate to a larger ring —
-a driver loop of at most `max_rounds` Spark jobs, each a broadcast join of
-(query, candidate-cell) pairs against the cell-indexed corpus.
+neighbor distance is strictly within the ring-r safety bound (points
+outside the disk are provably farther; ties at the bound escalate).
+
+Scale shape: queries NEVER touch the driver. Query cells are computed by
+the vectorized cell UDF, disk-cell candidates explode from an Arrow-batched
+``array<long>`` pandas UDF, settlement is a window-flag + anti-join — no
+``.collect()`` anywhere, so the operator is the same plan at 10^2 or 10^8
+queries. Each escalation round localCheckpoints its (small, k-rows-per-
+query) top-k output to truncate lineage: max_rounds Spark jobs total, each
+a cell equi-join of candidates against the cell-indexed corpus.
 
 Distance metric: planar degrees sqrt(dlat² + dlon²) — deterministic and
 ANSI-SQL-expressible, so the whole operator sits under the DuckDB oracle.
@@ -17,23 +23,24 @@ ANSI-SQL-expressible, so the whole operator sits under the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from geotiff_spark.functions import cells as cellmod
 
 
-def _disk_cells_pdf(query_rows, radius: int):
-    """Explode each query's disk-`radius` candidate cells (driver-side —
-    queries are the small broadcast side)."""
-    import pandas as pd
+def disk_cells_udf(radius: int):
+    """cell id → array<long> of all cells within Chebyshev `radius`."""
 
-    out = []
-    for r in query_rows:
-        for c in cellmod.disk_cells(int(r["cell"]), radius):
-            out.append((r["qid"], float(r["qlat"]), float(r["qlon"]), int(c)))
-    return pd.DataFrame(out, columns=["qid", "qlat", "qlon", "cell"])
+    @pandas_udf("array<long>")
+    def disks(cells: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(dtype=np.int64)
+        return pd.Series(cellmod.disk_cells_many(arr, radius))
+
+    return disks
 
 
 def knn_join(
@@ -53,9 +60,9 @@ def knn_join(
     Returns (qid, nn_id, dist, rank), rank 1..k, self excluded, planar
     degree distance, ties broken by nn_id.
     """
-    if "cell" not in corpus.columns:
-        from geotiff_spark.operators.extract import cell_udf
+    from geotiff_spark.operators.extract import cell_udf
 
+    if "cell" not in corpus.columns:
         corpus = corpus.withColumn("cell", cell_udf(res)(F.col(lat), F.col(lon)))
     corpus = corpus.select(
         F.col(key).alias("nn_id"),
@@ -64,26 +71,25 @@ def knn_join(
         "cell",
     )
 
-    qrows = [
-        {
-            "qid": r[key],
-            "qlat": r[lat],
-            "qlon": r[lon],
-            "cell": int(
-                cellmod.latlon_to_cell([r[lat]], [r[lon]], res)[0]
-            ),
-        }
-        for r in queries.select(key, lat, lon).collect()
-    ]
+    pending = queries.select(
+        F.col(key).alias("qid"),
+        F.col(lat).alias("qlat"),
+        F.col(lon).alias("qlon"),
+    ).withColumn("qcell", cell_udf(res)(F.col("qlat"), F.col("qlon")))
 
     cell_h_deg, _cell_w_deg = cellmod.cell_size_degrees(res)
-    results = None
+    w_rank = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
+    w_all = Window.partitionBy("qid")
+
+    results: DataFrame | None = None
     radius = initial_radius
-    pending = qrows
     for _round in range(max_rounds):
-        cand_cells = spark.createDataFrame(_disk_cells_pdf(pending, radius))
+        last = _round == max_rounds - 1
+        cand = pending.withColumn(
+            "cell", F.explode(disk_cells_udf(radius)(F.col("qcell")))
+        ).drop("qcell")
         scored = (
-            corpus.join(F.broadcast(cand_cells), "cell")
+            corpus.join(cand, "cell")
             .filter(F.col("nn_id") != F.col("qid"))
             .withColumn(
                 "dist",
@@ -95,36 +101,41 @@ def knn_join(
                 ),
             )
         )
-        w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "nn_id", "dist", "rank")
-        )
         # safety bound: a point outside disk-r differs by ≥ r+1 cells on
         # some axis, so even with worst-case intra-cell positions its
         # planar-degree distance is ≥ r · min-cell-extent (lat extent —
-        # lon cells are 2× wider in degrees)
+        # lon cells are 2× wider in degrees). Strict <: a point at exactly
+        # the bound with a smaller id could displace the k-th neighbor
+        # under the (dist, nn_id) tie-break.
         safe = float(radius) * cell_h_deg
-        stats = (
-            topk.groupBy("qid")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth"))
-            .collect()
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
         )
-        # strict <: a corpus point at exactly the safety radius with a
-        # smaller id could displace the k-th neighbor under the
-        # (dist, nn_id) tie-break — force one more expansion on ties
-        settled_ids = {
-            r["qid"] for r in stats if r["n"] >= k and r["kth"] < safe
-        }
-        if _round == max_rounds - 1:
-            settled_ids = {r["qid"] for r in stats} | settled_ids
-        settled_df = topk.filter(
-            F.col("qid").isin(list(settled_ids)) if settled_ids else F.lit(False)
+        flagged = topk.withColumn(
+            "settled",
+            F.lit(True)
+            if last
+            else (F.count(F.lit(1)).over(w_all) >= k)
+            & (F.max("dist").over(w_all) < F.lit(safe)),
+        ).select("qid", "nn_id", "dist", "rank", "settled")
+        # truncate lineage: each round's top-k is k rows per live query —
+        # tiny next to the corpus — and both the results union and the
+        # next round's anti-join consume it
+        flagged = flagged.localCheckpoint(eager=True)
+        settled_rows = flagged.filter(F.col("settled")).drop("settled")
+        results = (
+            settled_rows
+            if results is None
+            else results.unionByName(settled_rows)
         )
-        results = settled_df if results is None else results.unionByName(settled_df)
-        pending = [q for q in pending if q["qid"] not in settled_ids]
-        if not pending:
+        if last:
+            break
+        settled_qids = settled_rows.select("qid").distinct()
+        pending = pending.join(settled_qids, "qid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if pending.rdd.isEmpty():
             break
         radius *= 2
     return results.select(

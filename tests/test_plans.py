@@ -107,6 +107,47 @@ def test_checkpoint_resume_kill_and_rerun(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_knn_large_query_set_stays_distributed(spark):
+    """100k+ queries run through the same plan — queries are never
+    collected to the driver, settlement is a window flag + anti-join."""
+    import numpy as np
+
+    from geotiff_spark.operators.knn import knn_join
+
+    n = 120_000
+    pts = (
+        spark.range(n)
+        .withColumn(
+            "lat",
+            F.lit(36.0) + ((F.col("id") * 2654435761) % 220000) / F.lit(10000.0),
+        )
+        .withColumn(
+            "lon",
+            F.lit(-10.0) + ((F.col("id") * 40503 + 7) % 400000) / F.lit(10000.0),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+    out = knn_join(spark, pts, pts, k=3, res=10, max_rounds=4)
+    got = out.groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    assert got.filter(F.col("n") != 3).count() == 0
+    assert got.count() == n
+
+    # spot-check 5 queries against local brute force
+    local = pts.collect()
+    ids = np.array([r.doc_id for r in local])
+    la = np.array([r.lat for r in local])
+    lo = np.array([r.lon for r in local])
+    sample = out.filter(F.col("qid").isin([0, 31337, 64001, 99999, 119998]))
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(sample.collect(), key=lambda r: (r.qid, r.rank)):
+        by_q.setdefault(r.qid, []).append(r.nn_id)
+    for qid, mine in by_q.items():
+        d = np.sqrt((la - la[qid]) ** 2 + (lo - lo[qid]) ** 2)
+        mask = ids != qid
+        want = [int(i) for _d, i in sorted(zip(d[mask], ids[mask]))[:3]]
+        assert mine == want, (qid, mine, want)
+
+
 def test_knn_matches_bruteforce(spark):
     from geotiff_spark.operators.knn import knn_join
     from geotiff_spark.pipeline import geo_documents
