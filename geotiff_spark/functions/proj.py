@@ -29,6 +29,37 @@ def _q(sin_phi: np.ndarray) -> np.ndarray:
     )
 
 
+def laea_constants(
+    lon0_deg: float = 10.0,
+    lat0_deg: float = 52.0,
+    false_easting: float = 4321000.0,
+    false_northing: float = 3210000.0,
+) -> dict[str, float]:
+    """Point-independent LAEA terms (qp, beta1 trig, rq, d…) computed with
+    the same numpy arithmetic as laea_forward — used to embed the
+    projection into ANSI-SQL oracles with only per-point trig left to the
+    SQL engine."""
+    lat0 = np.radians(lat0_deg)
+    qp = float(_q(np.array(1.0)))
+    q1 = float(_q(np.sin(lat0)))
+    beta1 = np.arcsin(q1 / qp)
+    rq = _A * np.sqrt(qp / 2.0)
+    m1 = np.cos(lat0) / np.sqrt(1.0 - _E2 * np.sin(lat0) ** 2)
+    d = _A * m1 / (rq * np.cos(beta1))
+    return {
+        "e": float(_E),
+        "e2": float(_E2),
+        "qp": qp,
+        "sin_beta1": float(np.sin(beta1)),
+        "cos_beta1": float(np.cos(beta1)),
+        "rq": float(rq),
+        "d": float(d),
+        "lon0": float(np.radians(lon0_deg)),
+        "fe": false_easting,
+        "fn": false_northing,
+    }
+
+
 def laea_forward(
     lon_deg,
     lat_deg,

@@ -49,8 +49,10 @@ def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster zonal stats (no SQL oracle: raster decode not expressible;
-    driver records rows-only check)."""
+    """Raster zonal stats — exact oracle: the trusted numpy decoder
+    materializes the raster as a pixel parquet and the oracle SQL
+    re-expresses projection + inverse transform + gather + groupBy
+    (geotiff_spark.oracle_raster)."""
     return pipeline.flagship(spark, sf_dir, res=7)
 
 
@@ -109,11 +111,13 @@ GROUP BY p_brand
 
 
 def spatial_queries() -> Registry:
+    from geotiff_spark import oracle_raster
+
     return {
         "cell_assign": (q_cell_assign, oracle.cell_sql(7)),
         "pip_join": (q_pip_join, oracle.pip_join_sql()),
         "pip_counts": (q_pip_counts, oracle.pip_counts_sql()),
-        "zonal_stats": (q_zonal_stats, None),
+        "zonal_stats": (q_zonal_stats, oracle_raster.zonal_stats_sql()),
         "knn_join": (q_knn_join, KNN_ORACLE),
         "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
     }
@@ -141,9 +145,9 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster tiling + per-tile pruning stats over the reference corpus
-    (rows-only: raster decode not SQL-expressible; tiling round-trip and
-    pruning soundness pinned in pytest)."""
+    """Raster tiling + per-tile pruning stats over the reference corpus —
+    exact oracle via the trusted-decoder pixel parquet
+    (geotiff_spark.oracle_raster.tile_stats_sql)."""
     from geotiff_spark.operators.tiling import raster_to_tiles, tile_stats
     from geotiff_spark.sources.rasters import read_rasters
 
@@ -169,10 +173,12 @@ FROM orders GROUP BY o_orderstatus
 
 
 def multimodal_queries() -> Registry:
+    from geotiff_spark import oracle_raster
+
     return {
         "image_features": (q_image_features, None),
         "video_frame_sample": (q_video_frame_sample, None),
-        "tile_stats": (q_tile_stats, None),
+        "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
 

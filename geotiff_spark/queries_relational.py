@@ -140,9 +140,28 @@ FROM orders GROUP BY o_orderstatus
 
 
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL) — estimator-specific, no SQL oracle."""
+    """approx_count_distinct (HLL) range-checked against the exact count:
+    the estimator value itself is engine-specific, so the oracle-facing
+    columns are the exact count plus a within-tolerance flag (HLL default
+    rsd 0.05; 4σ tolerance keeps the gate deterministic-in-practice while
+    still failing on a broken sketch)."""
     o = _t(spark, sf_dir, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cust"))
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey")
+                - F.countDistinct("o_custkey")
+            )
+            <= F.lit(0.2) * F.countDistinct("o_custkey")
+        ).alias("within_rsd"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_rsd
+FROM orders
+"""
 
 
 # ---- joins -----------------------------------------------------------------
@@ -619,7 +638,7 @@ def relational_queries():
         "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP_REGION_NATION),
         "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
         "distinct_customers": (q_distinct_customers, SQL_DISTINCT_CUSTOMERS),
-        "approx_distinct": (q_approx_distinct, None),
+        "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
         "broadcast_join_brand_volume": (
             q_broadcast_join_brand_volume, SQL_BROADCAST_JOIN_BRAND_VOLUME),
         "multi_join_revenue_by_region": (

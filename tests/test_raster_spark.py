@@ -142,3 +142,33 @@ def test_persisted_rasters_table_roundtrip(spark, tmp_path):
     )
     assert valid.all()
     assert flat[idx].tolist() == [551, 530, 587]
+
+
+def test_zonal_and_tile_oracles_hash_match(spark):
+    """The exact DuckDB oracles for the raster path (pixel-parquet +
+    SQL-expressed projection/inverse-transform/gather) must reproduce the
+    Spark results value-for-value at sf0.001."""
+    import duckdb
+
+    from geotiff_spark import oracle_raster
+    from geotiff_spark.pipeline import flagship
+    from geotiff_spark.operators.tiling import raster_to_tiles, tile_stats
+    from geotiff_spark.sources.rasters import read_rasters
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+
+    from oracle_check import value_hash
+
+    spark_z = flagship(spark, "/root/testdata/sf0.001").toPandas()
+    duck_z = con.execute(oracle_raster.zonal_stats_sql()).fetchdf()
+    assert value_hash(spark_z) == value_hash(duck_z)
+
+    tiles = tile_stats(
+        raster_to_tiles(read_rasters(spark, "/root/reference/resources"))
+    ).toPandas()
+    duck_t = con.execute(oracle_raster.tile_stats_sql()).fetchdf()
+    assert value_hash(tiles) == value_hash(duck_t)
