@@ -128,11 +128,11 @@ def fused_pages_pip(
     Output: (carry..., lat, lon, cell, poly_id) — one row per (page,
     containing polygon).
     """
-    import re
-
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
     )
+
+    from geotiff_spark.operators.extract import extract_batch
 
     from geotiff_spark.functions import cells as cellmod
     from geotiff_spark.sources.polygons import polygon_cell_index_pdf
@@ -154,25 +154,12 @@ def fused_pages_pip(
             StructField("poly_id", StringType()),
         ]
     )
-    pat = re.compile(r"geo:\s*(-?\d+\.\d+),(-?\d+\.\d+)")
-
     def run(batches):
         index = bc_index.value
         polys = bc_polys.value
         for pdf in batches:
             n = len(pdf)
-            lats = np.full(n, np.nan)
-            lons = np.full(n, np.nan)
-            for i, h in enumerate(pdf[html]):
-                s = bytes(h).decode("utf-8")
-                start = s.rfind("<article>")
-                start = start + 9 if start >= 0 else 0
-                end = s.find("</article>", start)
-                t = s[start:end] if end >= 0 else s[start:]
-                m = pat.search(t)
-                if m:
-                    lats[i] = float(m.group(1))
-                    lons[i] = float(m.group(2))
+            _texts, lats, lons = extract_batch(pdf[html])
             ok = ~np.isnan(lats)
             if not ok.any():
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
