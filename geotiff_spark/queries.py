@@ -184,6 +184,72 @@ def multimodal_queries() -> Registry:
 
 
 # --------------------------------------------------------------------------
+# Streaming (the real Structured Streaming path, driven to completion with
+# availableNow — batch-equivalent output, so plain SQL oracles apply)
+# --------------------------------------------------------------------------
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts computed by an actual streaming query
+    (file-source micro-batches → windowed agg → memory sink, complete
+    mode). Late-data/watermark semantics are pytest-pinned separately
+    (tests/test_streaming.py); this puts the streaming surface under the
+    driver's hash-match gate via the batch-equivalent oracle."""
+    import hashlib
+    import os
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file stream source needs a DIRECTORY; the testdata table is a
+    # single parquet file — stage a symlink dir keyed by sf_dir
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = "/tmp/geotiff_spark_stream/" + hashlib.md5(src.encode()).hexdigest()[:12]
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = "stream_window_counts"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        F.col("event_type"),
+        F.col("n_events"),
+    )
+
+
+SQL_STREAM_WINDOW_COUNTS = """
+SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_queries() -> Registry:
+    return {
+        "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
+    }
+
+
+# --------------------------------------------------------------------------
 # Assemble
 # --------------------------------------------------------------------------
 
@@ -197,4 +263,5 @@ def registry() -> Registry:
 
     reg.update(textdata_queries())
     reg.update(multimodal_queries())
+    reg.update(streaming_queries())
     return reg

@@ -155,3 +155,34 @@ def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> D
 
 def write_pages_parquet(spark: SparkSession, n: int, path: str) -> None:
     synth_pages(spark, n).write.mode("overwrite").parquet(path)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+
+    Probed by class lookup, not by a failed read: a read failure could
+    equally mean a misconfigured catalog or a bad path, which must NOT
+    silently degrade to the parquet branch."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_pages(spark: SparkSession, path: str, source: str | None = None) -> DataFrame:
+    """Pages scan: Iceberg table when the runtime is present (snapshot
+    isolation + hidden partitioning at 10^12 rows), parquet directory
+    otherwise. `source` forces a branch ('iceberg' | 'parquet'); the
+    default probes the classpath once. Both branches yield the same
+    PAGES_SCHEMA columns, so every downstream operator is source-agnostic.
+    """
+    if source is None:
+        source = "iceberg" if iceberg_available(spark) else "parquet"
+    if source == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if source == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unknown pages source {source!r}")

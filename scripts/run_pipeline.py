@@ -32,12 +32,13 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 
-def load_pages(spark, path: str):
-    """Iceberg table if the runtime has the catalog, else parquet."""
-    try:
-        return spark.read.format("iceberg").load(path)
-    except Exception:
-        return spark.read.parquet(path)
+def load_pages(spark, path: str, source: str | None = None):
+    """Iceberg table if the runtime is on the classpath, else parquet
+    (geotiff_spark.sources.pages.load_pages — probed by class lookup so a
+    misconfigured catalog never silently degrades)."""
+    from geotiff_spark.sources.pages import load_pages as _load
+
+    return _load(spark, path, source)
 
 
 def main() -> int:
