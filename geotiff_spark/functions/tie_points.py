@@ -187,22 +187,30 @@ def _check(c1, c2, px, py):
     return ~np.signbit(cross)
 
 
-def face_contains(face: dict, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+def face_check_edges(face: dict) -> list[tuple[np.ndarray, np.ndarray]]:
+    """The (c1, c2) half-plane check pairs face_contains ANDs together —
+    exported so SQL oracles can replicate containment edge-for-edge
+    (cross((c2-c1), (p-c1)) must be non-negative for every pair)."""
     boundary = face["boundary"]
     if boundary is None:
-        return np.ones(np.shape(px), dtype=bool)
-    kind = boundary[0]
-    if kind == "closed":
+        return []
+    if boundary[0] == "closed":
         coords = boundary[1]
-        ok = np.ones(np.shape(px), dtype=bool)
-        for i in range(3):
-            ok &= _check(coords[i], coords[i + 1], px, py)
-        return ok
+        return [(coords[i], coords[i + 1]) for i in range(3)]
     _, coords, from_dir, to_dir = boundary
-    ok = _check(coords[0] + from_dir, coords[1], px, py)
-    ok &= _check(coords[1], coords[1] + to_dir, px, py)
-    for a, b in zip(coords[:-1], coords[1:]):
-        ok &= _check(a, b, px, py)
+    edges = [
+        (coords[0] + from_dir, coords[1]),
+        (coords[1], coords[1] + to_dir),
+    ]
+    edges.extend(zip(coords[:-1], coords[1:]))
+    return edges
+
+
+def face_contains(face: dict, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    edges = face_check_edges(face)
+    ok = np.ones(np.shape(px), dtype=bool)
+    for c1, c2 in edges:
+        ok &= _check(c1, c2, px, py)
     return ok
 
 

@@ -123,8 +123,13 @@ def to_model(kind: str, coeffs, x, y):
     raise TransformError(f"unknown transform kind {kind}")
 
 
-def to_raster(kind: str, coeffs, x, y):
-    """Model → raster space, vectorized (hot path of every sampling join)."""
+def to_raster(kind: str, coeffs, x, y, strict: bool = True):
+    """Model → raster space, vectorized (hot path of every sampling join).
+
+    `strict` only affects the tie_points warp: True replicates the
+    reference panic for points outside every face (lib-parity paths);
+    False yields NaN there (engine bulk-sampling paths, where an
+    uncovered point is a NULL sample, not a job failure)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     c = np.asarray(coeffs, dtype=np.float64)
@@ -138,7 +143,7 @@ def to_raster(kind: str, coeffs, x, y):
     if kind == "tie_points":
         from .tie_points import tie_points_to_raster
 
-        return tie_points_to_raster(c, x, y)
+        return tie_points_to_raster(c, x, y, strict)
     raise TransformError(f"unknown transform kind {kind}")
 
 
@@ -182,19 +187,21 @@ def sample_indices(
     x,
     y,
     sample: int,
+    strict: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized compute_index (/root/reference/src/lib.rs:164-199).
 
     Returns (flat_index int64 array, valid bool mask). Invalid positions hold
     index 0 — mask them out. Sample out of range raises, mirroring the
-    reference's panic (/root/reference/src/lib.rs:173-178).
+    reference's panic (/root/reference/src/lib.rs:173-178). `strict=False`
+    turns tie-points coverage holes into invalid samples instead of errors.
     """
     if sample >= num_samples:
         raise IndexError(
             f"sample out of bounds: the number of samples is {num_samples} "
             f"but the sample is {sample}"
         )
-    rx, ry = to_raster(kind, coeffs, x, y)
+    rx, ry = to_raster(kind, coeffs, x, y, strict)
     off = raster_offset(raster_type)
     rx = rx - off
     ry = ry - off

@@ -45,8 +45,15 @@ def load_raster_records(paths: list[str]) -> dict[str, dict]:
     return records
 
 
-def sample_udf(spark: SparkSession, records: dict[str, dict], sample: int = 0):
-    """pandas UDF (raster_id, x, y) → double value (NULL out-of-bounds)."""
+def sample_udf(
+    spark: SparkSession,
+    records: dict[str, dict],
+    sample: int = 0,
+    strict: bool = True,
+):
+    """pandas UDF (raster_id, x, y) → double value (NULL out-of-bounds).
+    strict=False maps tie-points coverage holes to NULL instead of
+    failing the task (bulk-sampling semantics)."""
     bc = spark.sparkContext.broadcast(records)
 
     @pandas_udf("double")
@@ -66,7 +73,7 @@ def sample_udf(spark: SparkSession, records: dict[str, dict], sample: int = 0):
             idx, valid = tf.sample_indices(
                 kind, coeffs, rec["width"], rec["height"],
                 rec["num_samples"], rec["raster_type"],
-                xs[mask], ys[mask], sample,
+                xs[mask], ys[mask], sample, strict,
             )
             vals = flat[idx].astype(np.float64)
             vals[~valid] = np.nan
@@ -85,11 +92,12 @@ def with_raster_sample(
     y: str = "y",
     out: str = "value",
     sample: int = 0,
+    strict: bool = True,
 ) -> DataFrame:
     """Attach a sampled raster value column. `raster_id` may be a literal
     (every row samples one raster) or a column (per-row raster routing)."""
     records = load_raster_records(raster_paths)
-    udf = sample_udf(spark, records, sample)
+    udf = sample_udf(spark, records, sample, strict)
     rid_col = F.lit(raster_id) if isinstance(raster_id, str) else raster_id
     return df.withColumn(out, udf(rid_col, F.col(x), F.col(y)))
 

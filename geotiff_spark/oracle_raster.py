@@ -178,6 +178,140 @@ GROUP BY poly_id
 """
 
 
+TIE_RASTER = (
+    "/root/reference/resources/"
+    "austrian_capitals_model_tie_points_pixel_is_area.tif"
+)
+
+# deterministic model-space sample points inside the austrian extent —
+# pure int64 arithmetic, exact in float64, reproducible in any SQL engine
+TIE_X_SQL = "(4302000.0 + (doc_id * 48271) % 507000)"
+TIE_Y_SQL = "(2621000.0 + (doc_id * 16807 + 3) % 190000)"
+
+
+def tiepoints_tables() -> tuple[str, str]:
+    """Materialize the tie-points warp's face/edge tables (trusted kernel:
+    Delaunay + build_faces, golden-verified vs the reference), so SQL can
+    replicate containment edge-for-edge and the per-face barycentric
+    affine verbatim. Returns (faces_path, edges_path)."""
+    from geotiff_spark.functions.tie_points import _build_meshes, face_check_edges
+    from geotiff_spark.operators.sample import load_raster_records
+
+    faces_path = f"{ORACLE_DIR}/tiepoints_faces.parquet"
+    edges_path = f"{ORACLE_DIR}/tiepoints_edges.parquet"
+    marker = f"{ORACLE_DIR}/_TIE_DONE"
+    if os.path.exists(marker):
+        return faces_path, edges_path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    rec = load_raster_records([TIE_RASTER])[TIE_RASTER.rsplit("/", 1)[-1]]
+    coeffs = tuple(np.asarray(rec["transform"][1]).ravel())
+    raster_mesh, model_mesh = _build_meshes(coeffs)
+
+    frows: dict[str, list] = {k: [] for k in (
+        "face_id", "s_ax", "s_ay", "s_bx", "s_by", "s_cx", "s_cy",
+        "t_ax", "t_ay", "t_bx", "t_by", "t_cx", "t_cy",
+    )}
+    erows: dict[str, list] = {k: [] for k in (
+        "face_id", "e1x", "e1y", "e2x", "e2y",
+    )}
+    # model→raster: containment + locate in the MODEL mesh, interpolate in
+    # the RASTER mesh (tie_points_to_raster source/target order)
+    for fid, (src, tgt) in enumerate(zip(model_mesh, raster_mesh)):
+        (sa, sb, sc), (ta, tb, tc) = src["support"], tgt["support"]
+        frows["face_id"].append(fid)
+        for k, v in zip(
+            ("s_ax", "s_ay", "s_bx", "s_by", "s_cx", "s_cy",
+             "t_ax", "t_ay", "t_bx", "t_by", "t_cx", "t_cy"),
+            (*sa, *sb, *sc, *ta, *tb, *tc),
+        ):
+            frows[k].append(float(v))
+        edges = face_check_edges(src)
+        if not edges:
+            # boundary-None face contains everything: a degenerate edge
+            # whose cross product is identically +0.0 always passes
+            edges = [(np.zeros(2), np.zeros(2))]
+        for c1, c2 in edges:
+            erows["face_id"].append(fid)
+            erows["e1x"].append(float(c1[0]))
+            erows["e1y"].append(float(c1[1]))
+            erows["e2x"].append(float(c2[0]))
+            erows["e2y"].append(float(c2[1]))
+    _write_parquet(faces_path, {k: np.asarray(v) for k, v in frows.items()})
+    _write_parquet(edges_path, {k: np.asarray(v) for k, v in erows.items()})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return faces_path, edges_path
+
+
+def tiepoints_sample_sql() -> str:
+    """Oracle for sampling the tie-points raster at deterministic model
+    points: half-plane containment (first containing face = MIN face_id,
+    matching the kernel's mesh-order scan), the exact _locate/_interpolate
+    barycentric formulas, floor/bounds, pixel gather. Uncovered points
+    (wedge holes — faithful to the reference) and out-of-bounds indices
+    yield NULL, matching strict=False bulk sampling."""
+    from geotiff_spark.operators.sample import load_raster_records
+
+    faces_path, edges_path = tiepoints_tables()
+    _, all_path = pixel_tables()
+    rid = TIE_RASTER.rsplit("/", 1)[-1]
+    rec = load_raster_records([TIE_RASTER])[rid]
+    w, h = rec["width"], rec["height"]
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {TIE_X_SQL} AS x, {TIE_Y_SQL} AS y FROM documents
+),
+passes AS (
+  SELECT p.doc_id, e.face_id,
+         MIN(CASE WHEN (e.e2x - e.e1x) * (p.y - e.e1y)
+                       - (e.e2y - e.e1y) * (p.x - e.e1x) >= 0
+                  THEN 1 ELSE 0 END) AS all_ok
+  FROM pts p CROSS JOIN read_parquet('{edges_path}') e
+  GROUP BY p.doc_id, e.face_id
+),
+best AS (
+  SELECT doc_id, MIN(face_id) AS face_id
+  FROM passes WHERE all_ok = 1 GROUP BY doc_id
+),
+uv AS (
+  SELECT p.doc_id,
+         -(p.x * (f.s_ay - f.s_cy) - f.s_cx * (f.s_ay - p.y)
+           + f.s_ax * (f.s_cy - p.y))
+           / (f.s_cx * (f.s_ay - f.s_by) - f.s_bx * (f.s_ay - f.s_cy)
+              + f.s_ax * (f.s_by - f.s_cy)) AS u,
+         (p.x * (f.s_ay - f.s_by) - f.s_bx * (f.s_ay - p.y)
+          + f.s_ax * (f.s_by - p.y))
+           / (f.s_cx * (f.s_ay - f.s_by) - f.s_bx * (f.s_ay - f.s_cy)
+              + f.s_ax * (f.s_by - f.s_cy)) AS v,
+         f.t_ax, f.t_ay, f.t_bx, f.t_by, f.t_cx, f.t_cy
+  FROM pts p
+  JOIN best b ON b.doc_id = p.doc_id
+  JOIN read_parquet('{faces_path}') f ON f.face_id = b.face_id
+),
+rxy AS (
+  SELECT doc_id,
+         -u * t_ax - v * t_ax + t_ax + u * t_bx + v * t_cx AS rx,
+         -u * t_ay - v * t_ay + t_ay + u * t_by + v * t_cy AS ry
+  FROM uv
+),
+idx AS (
+  SELECT p.doc_id,
+         CASE WHEN r.rx >= 0.0 AND r.rx < {w} AND r.ry >= 0.0 AND r.ry < {h}
+              THEN CAST(FLOOR(r.rx) AS BIGINT) END AS ix,
+         CASE WHEN r.rx >= 0.0 AND r.rx < {w} AND r.ry >= 0.0 AND r.ry < {h}
+              THEN CAST(FLOOR(r.ry) AS BIGINT) END AS iy
+  FROM pts p LEFT JOIN rxy r ON r.doc_id = p.doc_id
+)
+SELECT i.doc_id, px.value AS value
+FROM idx i
+LEFT JOIN (
+  SELECT ix, iy, value FROM read_parquet('{all_path}')
+  WHERE raster_id = '{rid}'
+) px ON px.ix = i.ix AND px.iy = i.iy
+"""
+
+
 def tile_stats_sql(tile_size: int = 256) -> str:
     """Tiling oracle: band-0 pixel table → tile coords by integer
     division → per-tile min/mean/max."""

@@ -88,6 +88,28 @@ SELECT qid, nn_id, ROUND(dist, 9) AS dist, rank FROM (
 """
 
 
+def q_tiepoints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sampling through the tie-points (Delaunay barycentric
+    warp) transform — the third transform variant riding the same
+    sample_udf machinery. Deterministic model-space points derive from
+    doc_id by pure integer arithmetic; strict=False maps wedge holes
+    (faithful to the reference mesh) and out-of-bounds to NULL. Exact
+    oracle: face/edge tables from the trusted kernel + the barycentric
+    affine re-expressed in SQL (geotiff_spark.oracle_raster)."""
+    from geotiff_spark.operators.sample import with_raster_sample
+    from geotiff_spark.oracle_raster import TIE_RASTER
+
+    docs = pipeline.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4302000.0) + (F.col("doc_id") * F.lit(48271)) % F.lit(507000)).alias("x"),
+        (F.lit(2621000.0) + (F.col("doc_id") * F.lit(16807) + F.lit(3)) % F.lit(190000)).alias("y"),
+    )
+    return with_raster_sample(
+        docs, spark, [TIE_RASTER], TIE_RASTER.rsplit("/", 1)[-1],
+        strict=False,
+    ).select("doc_id", "value")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join — must equal the plain join exactly."""
     from geotiff_spark.plans.salting import salted_join
@@ -118,6 +140,7 @@ def spatial_queries() -> Registry:
         "pip_join": (q_pip_join, oracle.pip_join_sql()),
         "pip_counts": (q_pip_counts, oracle.pip_counts_sql()),
         "zonal_stats": (q_zonal_stats, oracle_raster.zonal_stats_sql()),
+        "tiepoints_sample": (q_tiepoints_sample, oracle_raster.tiepoints_sample_sql()),
         "knn_join": (q_knn_join, KNN_ORACLE),
         "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
     }
