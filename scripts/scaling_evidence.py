@@ -56,8 +56,11 @@ corpus = scan.crossJoin(reps).select(
 ).repartition(64).cache()
 corpus.count()
 
+n_rasters = corpus.count()  # 9 fixtures x 16 reps; all must decode clean
+
 def job_decode():
-    assert corpus.mapInPandas(_decode_batches, schema=RASTER_SCHEMA)         .filter(F.col('error').isNull()).count() == 112
+    ok = corpus.mapInPandas(_decode_batches, schema=RASTER_SCHEMA)         .filter(F.col('error').isNull()).count()
+    assert ok == n_rasters, (ok, n_rasters)
 
 p = spark.read.parquet(pages_path).cache()
 n = p.count()
