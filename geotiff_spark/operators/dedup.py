@@ -248,27 +248,46 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document. Token hashes are computed JVM-side
-    (xxhash64); the bit-vote fold runs in one Arrow-batched pandas UDF."""
-    toks = tokens_df(df, text, key).withColumn(
-        "th", F.xxhash64(F.col("token"))
-    )
-    hashed = toks.groupBy(key).agg(F.collect_list("th").alias("hashes"))
+    """64-bit SimHash per document with ZERO shuffle: the signature is
+    row-local, so no explode/collect_list round trip — the distinct-token
+    array and one xxhash64 per token stay JVM-side, and the bit-vote fold
+    runs vectorized over the whole Arrow batch (one reduceat per batch,
+    not one Python loop per doc). Docs with no tokens are dropped,
+    matching the explode-based formulation this replaces."""
 
     @pandas_udf("long")
     def fold(hashes: pd.Series) -> pd.Series:
-        out = np.empty(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bit_idx in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit_idx)
-            out[i] = sig.astype(np.int64).item() if hasattr(sig, 'astype') else int(sig)
-        return pd.Series(out)
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=np.int64)
+        lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes]
+        ).view(np.uint64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # (total_tokens, 64) bit matrix -> per-doc ones count per bit;
+        # vote > 0  <=>  2*ones > len
+        bits = (
+            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        ones = np.add.reduceat(bits, starts, axis=0)
+        sig_bits = (2 * ones) > lens[:, None]
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        sigs = (sig_bits.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sigs.view(np.int64))
 
-    return hashed.select(F.col(key), fold(F.col("hashes")).alias("simhash"))
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return (
+        df.select(F.col(key), hashes.alias("hashes"))
+        .filter(F.size("hashes") > 0)
+        .select(F.col(key), fold(F.col("hashes")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
