@@ -6,6 +6,12 @@
 - lsh_topk: the scale path — random-hyperplane (sign) LSH buckets shrink
   the candidate set; exact re-rank inside buckets. Recall < 1 by design;
   probe multiple hash tables to trade cost for recall.
+- ivf_topk: the other canonical scale path — a coarse quantizer (spherical
+  k-means trained by distributed Lloyd iterations) partitions the corpus
+  into inverted lists; queries probe the n_probe nearest centroids and
+  re-rank exactly inside them. Centroids are model state (n_centroids ×
+  dim doubles) — the only driver-side materialization, same tier as the
+  salting histogram.
 """
 
 from __future__ import annotations
@@ -123,6 +129,111 @@ def lsh_topk(
         .filter(F.col("nn_id") != F.col("query_id"))
         .select("query_id", "qvec", "nn_id", "cvec")
         .distinct()
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank")
+    )
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+def _assign_udf(spark, centroids: np.ndarray, n_probe: int = 1):
+    """Nearest-centroid id(s) by cosine, one matmul per Arrow batch.
+    n_probe=1 → the single inverted-list id; >1 → the probe list."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("array<int>")
+    def assign(vec: pd.Series) -> pd.Series:
+        cents = bc.value  # (n_centroids, dim), L2-normalized
+        mat = _normalize_rows(np.vstack(vec.to_numpy()).astype(np.float64))
+        sims = mat @ cents.T
+        if n_probe == 1:
+            top = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+        else:
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def train_ivf_centroids(
+    spark,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means by distributed Lloyd iterations: assignment is an
+    Arrow-batched matmul over the corpus; the update is a per-cluster mean
+    (applyInPandas — n_centroids tiny groups). Deterministic: seeded from
+    the n_centroids lowest-key corpus vectors. Only the (n_centroids, dim)
+    centroid matrix ever reaches the driver."""
+    seed_rows = (
+        corpus.orderBy(key).limit(n_centroids).select(vec).collect()
+    )
+    cents = _normalize_rows(
+        np.vstack([np.asarray(r[0], dtype=np.float64) for r in seed_rows])
+    )
+
+    def mean_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64).mean(axis=0)
+        return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "c": [list(m)]})
+
+    for _ in range(iters):
+        assign = _assign_udf(spark, cents, 1)
+        assigned = corpus.select(
+            F.col(vec).alias("v"), assign(F.col(vec))[0].alias("cid")
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .applyInPandas(mean_fn, "cid int, c array<double>")
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            new[r["cid"]] = np.asarray(r["c"], dtype=np.float64)
+        cents = _normalize_rows(new)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Approximate top-k via inverted lists: corpus rows live in their
+    nearest-centroid list; each query probes its n_probe nearest lists and
+    re-ranks exactly (JVM cosine) inside them. Candidate volume is
+    ~corpus × n_probe / n_centroids instead of corpus × queries."""
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(spark, corpus, n_centroids, iters, key, vec)
+    one = _assign_udf(spark, cents, 1)
+    probe = _assign_udf(spark, cents, n_probe)
+    c = corpus.select(
+        F.col(key).alias("nn_id"), F.col(vec).alias("cvec"),
+        one(F.col(vec))[0].alias("cid"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("qvec"),
+        F.explode(probe(F.col(vec))).alias("cid"),
+    )
+    # corpus row sits in exactly one list and probe cids are distinct per
+    # query, so (query, candidate) pairs are already unique — no distinct
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("nn_id") != F.col("query_id"))
     )
     scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))

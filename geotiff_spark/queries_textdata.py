@@ -206,6 +206,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF variant: spherical-k-means inverted lists + n_probe search (no
+    oracle; pytest measures recall vs exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 # ---- text analysis -------------------------------------------------------------
 
 def q_token_count(spark, sf_dir):
@@ -313,6 +321,7 @@ def textdata_queries():
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
         "ann_lsh_topk": (q_ann_lsh_topk, None),
+        "ann_ivf_topk": (q_ann_ivf_topk, None),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),

@@ -230,3 +230,32 @@ def test_pip_join_left_keeps_nongeotagged(spark):
     assert left.count() >= 800  # every page kept (hits may fan out)
     n_no_geo = pages.filter(F.col("cell").isNull()).count()
     assert left.filter(F.col("poly_id").isNull()).count() >= n_no_geo
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN recall vs brute force on real embeddings; candidate volume
+    must stay well under the brute-force cross product."""
+    from geotiff_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.nn_id)
+        for r in ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # ANN tier: recall traded for cost
+
+
+def test_ivf_centroids_deterministic(spark):
+    from geotiff_spark.operators.similarity import train_ivf_centroids
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = train_ivf_centroids(spark, emb, n_centroids=8, iters=2)
+    b = train_ivf_centroids(spark, emb, n_centroids=8, iters=2)
+    assert np.array_equal(a, b)
