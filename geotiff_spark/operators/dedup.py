@@ -356,3 +356,65 @@ def simhash_pairs_from_sigs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    key_a: str = "id_a",
+    key_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over a near-dup
+    pair graph by min-label propagation. Returns (node_col, component_id)
+    with component_id = the smallest member id; nodes absent from any
+    pair keep their own id (singleton components).
+
+    Each iteration is one equi-join + groupBy(min) — O(diameter) rounds,
+    which is small for dedup graphs (near-dup clusters are dense, so
+    labels traverse them in a couple of hops). Convergence is detected by
+    the monotone label sum (one scalar action per round, no data to the
+    driver); per-round labels are localCheckpointed so lineage stays flat.
+    For adversarially long chains swap the propagation step for
+    large-star/small-star — the surrounding contract is unchanged.
+    """
+    e = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize once: every propagation round joins edges, and without
+    # this the (possibly expensive) pair-generation job upstream would
+    # re-run per round
+    ).localCheckpoint(eager=True)
+    if nodes is None:
+        node_df = edges.select(F.col("src").alias("node")).distinct()
+    else:
+        node_df = nodes.select(F.col(node_col).alias("node")).distinct()
+    labels = node_df.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("dst", "node")
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("component_id")
+    )

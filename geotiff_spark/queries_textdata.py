@@ -57,6 +57,53 @@ WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assembly: connected components (min-label
+    propagation) over the exact jaccard-0.8 pair graph; singletons keep
+    their own id. Oracle: recursive-CTE transitive closure in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.token_jaccard_pairs(docs, threshold=0.8)
+    return dedup.connected_components(pairs, nodes=docs)
+
+
+SQL_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Probabilistic candidate generation (no SQL oracle; recall tested in
     pytest against the exact jaccard baseline)."""
@@ -317,6 +364,7 @@ def textdata_queries():
     return {
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+        "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -259,3 +259,22 @@ def test_ivf_centroids_deterministic(spark):
     a = train_ivf_centroids(spark, emb, n_centroids=8, iters=2)
     b = train_ivf_centroids(spark, emb, n_centroids=8, iters=2)
     assert np.array_equal(a, b)
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation must produce exact components, including a
+    chain longer than one hop and singleton nodes."""
+    from geotiff_spark.operators.dedup import connected_components
+
+    # components: {0,1,2,3} (chain), {10,11}, {20} (singleton via nodes)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 20)], ["doc_id"]
+    )
+    out = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
