@@ -254,3 +254,61 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode FAKE-AUD to (sample_rate, float32 samples). Real codecs are
+    unavailable here — a real deployment plugs ffmpeg/soundfile into this
+    one function, exactly like decode_image."""
+    if payload[:4] == b"FAUD":
+        sr, n = struct.unpack_from("<II", payload, 4)
+        return sr, np.frombuffer(payload, dtype=np.float32, offset=12, count=n)
+    raise NotImplementedError(
+        "real audio codecs unavailable in this environment; "
+        "payload is not a FAKE-AUD container"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode → duration / RMS / zero-crossing count / peak, one
+    mapInPandas pass (the audio analog of image_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, s = decode_audio(bytes(payload))
+                s64 = s.astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": sr,
+                        "n_samples": len(s),
+                        "duration_sec": len(s) / sr,
+                        "rms": float(np.sqrt(np.mean(s64 * s64))),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(s64)))
+                        ),
+                        "peak": float(np.abs(s64).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    )

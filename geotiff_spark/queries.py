@@ -157,6 +157,12 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(mm.synth_media(spark, 300))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.audio_features(mm.synth_media(spark, 300))
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotiff_spark.operators import multimodal as mm
 
@@ -200,6 +206,7 @@ def multimodal_queries() -> Registry:
 
     return {
         "image_features": (q_image_features, None),
+        "audio_features": (q_audio_features, None),
         "video_frame_sample": (q_video_frame_sample, None),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),

@@ -64,3 +64,22 @@ def test_video_frame_sampling(spark):
 def test_real_codec_path_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+
+def test_audio_features_match_local_decode(spark):
+    media = mm.synth_media(spark, 30)
+    feats = {r.media_id: r for r in mm.audio_features(media).collect()}
+    assert len(feats) == 10  # media_id % 3 == 1 -> audio
+    for r in media.filter(F.col("kind") == "audio").collect():
+        sr, s = mm.decode_audio(bytes(r.payload))
+        f = feats[r.media_id]
+        assert f.sample_rate == sr and f.n_samples == len(s)
+        np.testing.assert_allclose(
+            f.rms, np.sqrt(np.mean(s.astype(np.float64) ** 2)), rtol=1e-12
+        )
+        assert f.duration_sec == len(s) / sr
+
+
+def test_audio_real_codec_path_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFFxxxxWAVExxxx")
