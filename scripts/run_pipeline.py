@@ -29,7 +29,14 @@ import time
 import numpy as np  # noqa: F401  (udf type-hint resolution)
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+try:  # packaged run: geotiff_spark arrives via spark-submit --py-files
+    import geotiff_spark  # noqa: F401
+except ImportError:  # direct `python scripts/run_pipeline.py` from a checkout
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 
 def load_pages(spark, path: str, source: str | None = None):
