@@ -91,49 +91,50 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError("real-codec path not wired")
 
 
+def synth_media_row(mid: int) -> dict:
+    """One deterministic media row for id `mid` — shared by the Spark
+    generator and the driver-side oracle builder (oracle_raster.py)."""
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    kind = ("image", "audio", "video")[mid % 3]
+    if kind == "image":
+        w, h, c = 16 + r % 48, 16 + (r >> 8) % 48, 3
+        payload = encode_fake_image(mid, w, h, c)
+        meta = (w, h, c, None, None, "FIMG")
+    elif kind == "audio":
+        sr, ns = 16000, 256 + r % 1024
+        samples = (
+            (_fake_pixels(mid, ns * 4).view(np.uint32) % 2000)
+            .astype(np.float32) / 1000.0 - 1.0
+        )[:ns]
+        payload = struct.pack("<4sII", b"FAUD", sr, ns) + samples.tobytes()
+        meta = (None, None, 1, sr, None, "FAUD")
+    else:
+        w, h, nf = 8 + r % 24, 8 + (r >> 8) % 24, 4 + r % 12
+        payload = struct.pack("<4sHHH", b"FVID", w, h, nf) + _fake_pixels(
+            mid, w * h * nf
+        ).tobytes()
+        meta = (w, h, 1, None, nf, "FVID")
+    return {
+        "media_id": mid,
+        "kind": kind,
+        "payload": payload,
+        "meta": dict(
+            zip(
+                ("width", "height", "channels",
+                 "sample_rate", "n_frames", "format"),
+                meta,
+            )
+        ),
+    }
+
+
 def synth_media(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic media table: ids 0..n-1 cycle image/audio/video."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid in pdf["id"]:
-                mid = int(mid)
-                r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
-                kind = ("image", "audio", "video")[mid % 3]
-                if kind == "image":
-                    w, h, c = 16 + r % 48, 16 + (r >> 8) % 48, 3
-                    payload = encode_fake_image(mid, w, h, c)
-                    meta = (w, h, c, None, None, "FIMG")
-                elif kind == "audio":
-                    sr, ns = 16000, 256 + r % 1024
-                    samples = (
-                        (_fake_pixels(mid, ns * 4).view(np.uint32) % 2000)
-                        .astype(np.float32) / 1000.0 - 1.0
-                    )[:ns]
-                    payload = struct.pack("<4sII", b"FAUD", sr, ns) + samples.tobytes()
-                    meta = (None, None, 1, sr, None, "FAUD")
-                else:
-                    w, h, nf = 8 + r % 24, 8 + (r >> 8) % 24, 4 + r % 12
-                    payload = struct.pack("<4sHHH", b"FVID", w, h, nf) + _fake_pixels(
-                        mid, w * h * nf
-                    ).tobytes()
-                    meta = (w, h, 1, None, nf, "FVID")
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "kind": kind,
-                        "payload": payload,
-                        "meta": dict(
-                            zip(
-                                ("width", "height", "channels",
-                                 "sample_rate", "n_frames", "format"),
-                                meta,
-                            )
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([synth_media_row(mid) for mid in pdf["id"]])
 
     rng = spark.range(0, n, numPartitions=partitions or 8)
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

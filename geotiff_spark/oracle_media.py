@@ -1,0 +1,94 @@
+"""DuckDB oracles for the multimodal queries.
+
+Same trust pattern as the raster pixel tables (oracle_raster.py): the
+media payloads are deterministic functions of media_id, so a driver-side
+single-process loop over the SAME decode kernels materializes the
+expected feature rows once, and the oracle SQL reads them back. What the
+gate then verifies is the Spark side — mapInPandas batching, kind
+filtering, schema, the Arrow round trip — against a non-distributed
+computation, exactly like the zonal/tile oracles verify the distributed
+gather against the local decoder. The kernels themselves are pinned by
+tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from geotiff_spark.oracle_raster import ORACLE_DIR, _write_parquet
+
+N_MEDIA = 300  # must match the registry queries' synth_media(spark, 300)
+
+
+def media_feature_tables() -> dict[str, str]:
+    """Materialize (once per boot) the expected image/audio/video feature
+    rows for media ids 0..N_MEDIA-1. Returns {name: parquet_path}."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import (
+        decode_audio, decode_image, synth_media_row,
+    )
+
+    paths = {
+        "image": f"{ORACLE_DIR}/media_image_features.parquet",
+        "audio": f"{ORACLE_DIR}/media_audio_features.parquet",
+        "video": f"{ORACLE_DIR}/media_video_counts.parquet",
+    }
+    marker = f"{ORACLE_DIR}/_MEDIA_DONE_{N_MEDIA}"
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    img, aud, vid = [], [], []
+    for mid in range(N_MEDIA):
+        row = synth_media_row(mid)
+        payload = row["payload"]
+        if row["kind"] == "image":
+            arr = decode_image(payload)
+            means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+            img.append((mid, arr.shape[1], arr.shape[0], float(means[0]),
+                        float(means[1]), float(means[2]),
+                        float(arr.mean(axis=2).std())))
+        elif row["kind"] == "audio":
+            sr, s = decode_audio(payload)
+            s64 = s.astype(np.float64)
+            aud.append((mid, sr, len(s), len(s) / sr,
+                        float(np.sqrt(np.mean(s64 * s64))),
+                        int(np.count_nonzero(np.diff(np.signbit(s64)))),
+                        float(np.abs(s64).max())))
+        else:
+            nf = row["meta"]["n_frames"]
+            vid.append((mid, -(-nf // 2)))  # every=2 -> ceil(nf/2)
+
+    ipdf = pd.DataFrame(
+        img, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                      "mean_b", "std_gray"],
+    )
+    apdf = pd.DataFrame(
+        aud, columns=["media_id", "sample_rate", "n_samples", "duration_sec",
+                      "rms", "zero_crossings", "peak"],
+    )
+    vpdf = pd.DataFrame(vid, columns=["media_id", "n_frames_sampled"])
+    _write_parquet(paths["image"], {c: ipdf[c].to_numpy() for c in ipdf})
+    _write_parquet(paths["audio"], {c: apdf[c].to_numpy() for c in apdf})
+    _write_parquet(paths["video"], {c: vpdf[c].to_numpy() for c in vpdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return paths
+
+
+def image_features_sql() -> str:
+    p = media_feature_tables()["image"]
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
+def audio_features_sql() -> str:
+    p = media_feature_tables()["audio"]
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
+def video_frame_sample_sql() -> str:
+    p = media_feature_tables()["video"]
+    return f"SELECT * FROM read_parquet('{p}')"

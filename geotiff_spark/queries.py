@@ -202,12 +202,13 @@ FROM orders GROUP BY o_orderstatus
 
 
 def multimodal_queries() -> Registry:
-    from geotiff_spark import oracle_raster
+    from geotiff_spark import oracle_media, oracle_raster
 
     return {
-        "image_features": (q_image_features, None),
-        "audio_features": (q_audio_features, None),
-        "video_frame_sample": (q_video_frame_sample, None),
+        "image_features": (q_image_features, oracle_media.image_features_sql()),
+        "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
+        "video_frame_sample": (
+            q_video_frame_sample, oracle_media.video_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
