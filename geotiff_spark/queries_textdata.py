@@ -104,6 +104,94 @@ GROUP BY d.doc_id
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation, the webtext flagship: quality
+    gate (length + token count) -> exact dedup (md5 keeper) -> near-dup
+    collapse (connected components over the jaccard-0.8 graph of
+    survivors, component representative kept) -> per-language corpus
+    stats. Every stage is exact, so the whole pipeline sits under one
+    SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    kept = docs.withColumn("n_tokens", n_tokens).filter(
+        (F.length("text") >= 20) & (F.col("n_tokens") >= 3)
+    )
+    exact_keep = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = kept.join(exact_keep.select("doc_id"), "doc_id")
+    pairs = dedup.token_jaccard_pairs(survivors, threshold=0.8)
+    comps = dedup.connected_components(pairs, nodes=survivors)
+    final = survivors.join(comps, "doc_id").filter(
+        F.col("doc_id") == F.col("component_id")
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, text, lang,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+           AS n_tokens
+  FROM documents
+  WHERE len(text) >= 20
+),
+kept2 AS (SELECT * FROM kept WHERE n_tokens >= 3),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept2 GROUP BY md5(text)
+),
+survivors AS (
+  SELECT k.* FROM kept2 k JOIN exact_keep e ON e.doc_id = k.doc_id
+),
+tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM survivors
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT s.doc_id,
+         LEAST(s.doc_id, COALESCE(MIN(r.b), s.doc_id)) AS component_id
+  FROM survivors s LEFT JOIN reach r ON r.a = s.doc_id
+  GROUP BY s.doc_id
+),
+final AS (
+  SELECT s.* FROM survivors s
+  JOIN comp c ON c.doc_id = s.doc_id AND s.doc_id = c.component_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(text)), 6) AS avg_chars
+FROM final GROUP BY lang
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Probabilistic candidate generation (no SQL oracle; recall tested in
     pytest against the exact jaccard baseline)."""
@@ -365,6 +453,7 @@ def textdata_queries():
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -278,3 +278,43 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check: min-label propagation equals a classic union-find
+    on deterministic pseudo-random graphs."""
+    from geotiff_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(150, 2))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in range(n):
+        root = find(x)
+        want[x] = min(
+            i for i in range(n) if find(i) == root
+        )
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == want
