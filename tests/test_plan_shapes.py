@@ -1,0 +1,68 @@
+"""Physical-plan shape pins: the scale properties PLANS.md claims must
+hold in the actual executed plans, not just in prose — no shuffle where
+the operator is row-local, broadcast where the dim is small, pushdown
+reaching the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_minhash_signatures_plan_has_no_exchange(spark):
+    from geotiff_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_signatures_plan_has_no_exchange(spark):
+    from geotiff_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_signatures(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_pip_join_broadcasts_polygon_index(spark):
+    from geotiff_spark.pipeline import doc_pip_join
+
+    plan = _plan(doc_pip_join(spark, SF, res=7))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # the big (pages/documents) side must not be exchanged before the join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_project_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 10.0).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,10.0)" in plan, plan
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_fused_pages_pip_single_python_stage(spark):
+    from geotiff_spark.operators.spatial_join import fused_pages_pip
+    from geotiff_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 100, partitions=2)
+    hits = fused_pages_pip(spark, pages, 7)
+    agg = hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(agg)
+    # exactly two Python stages total: the pages generator + the fused
+    # kernel — decode/extract/geotag/cell/join/refine never split apart
+    assert plan.count("MapInPandas") == 2, plan
+    # the only exchange is the final tiny per-polygon aggregate
+    assert plan.count("Exchange") == 1, plan
