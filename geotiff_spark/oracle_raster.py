@@ -326,3 +326,28 @@ SELECT raster_id,
 FROM read_parquet('{all_path}')
 GROUP BY raster_id, tile_x, tile_y
 """
+
+
+def pyramid_level1_stats_sql(tile_size: int = 256) -> str:
+    """Oracle for pyramid level 1: the engine's 2x2 floor-mean downsample
+    (with edge-replication padding) equals FLOOR(AVG(children)) grouped by
+    (ix//2, iy//2) — the replicated row/col is a copy of the only real
+    row/col inside the same parent block, so duplicates never change the
+    mean. Integer fixture values keep every aggregate exact."""
+    _, all_path = pixel_tables()
+    return f"""
+WITH parent AS (
+  SELECT raster_id, ix // 2 AS px, iy // 2 AS py,
+         FLOOR(AVG(value)) AS pv
+  FROM read_parquet('{all_path}')
+  GROUP BY raster_id, ix // 2, iy // 2
+)
+SELECT raster_id,
+       CAST(px // {tile_size} AS INTEGER) AS tile_x,
+       CAST(py // {tile_size} AS INTEGER) AS tile_y,
+       MIN(pv) AS v_min,
+       AVG(pv) AS v_mean,
+       MAX(pv) AS v_max
+FROM parent
+GROUP BY raster_id, tile_x, tile_y
+"""

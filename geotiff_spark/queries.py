@@ -184,6 +184,20 @@ def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_stats(raster_to_tiles(rasters, tile_size=256))
 
 
+def q_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile pyramid level 1 (2x2 floor-mean overview) -> per-tile stats;
+    exact oracle via grouped FLOOR(AVG) over the pixel parquet
+    (oracle_raster.pyramid_level1_stats_sql)."""
+    from geotiff_spark.operators.tiling import (
+        build_pyramid, raster_to_tiles, tile_stats,
+    )
+    from geotiff_spark.sources.rasters import read_rasters
+
+    rasters = read_rasters(spark, "/root/reference/resources")
+    pyr = build_pyramid(raster_to_tiles(rasters, tile_size=256), levels=1)
+    return tile_stats(pyr.filter(F.col("level") == 1).drop("level"))
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median/p90) per order status."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -210,6 +224,7 @@ def multimodal_queries() -> Registry:
         "video_frame_sample": (
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
+        "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_level1_stats_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
 

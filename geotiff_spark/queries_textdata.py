@@ -104,6 +104,41 @@ GROUP BY d.doc_id
 """
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by key hash (xxhash64 mod
+    100 -> 90/5/5): reproducible across runs, partitionings and engines —
+    the sampling primitive a training pipeline needs instead of
+    nondeterministic sample(). Oracle: DuckDB hash() differs from
+    xxhash64, so the split column is derived from doc_id arithmetic that
+    both engines compute exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(17), F.lit(100))
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+SQL_TRAIN_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang, text,
+         (doc_id * 2654435761 + 17) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation, the webtext flagship: quality
     gate (length + token count) -> exact dedup (md5 keeper) -> near-dup
@@ -454,6 +489,7 @@ def textdata_queries():
         "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+        "train_split": (q_train_split, SQL_TRAIN_SPLIT),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
