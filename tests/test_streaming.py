@@ -165,3 +165,69 @@ def test_running_cell_counts_stateful(spark, pages_dir):
     want = {r.cell: r["count"] for r in batch}
     assert finals == want
     assert multi_batch > 0  # state genuinely carried across micro-batches
+
+
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Kill-and-restart drill for the streaming path: a query restarted
+    from its checkpointLocation must pick up only NEW files and end with
+    exactly the batch answer — no reprocessing, no gaps."""
+    from geotiff_spark.sources.pages import PAGES_SCHEMA, synth_pages
+    from geotiff_spark.streaming.ingest import windowed_cell_counts
+
+    src = tmp_path / "pages"
+    ckpt = str(tmp_path / "ckpt")
+    first = synth_pages(spark, 1500, partitions=3)
+    first.write.parquet(str(src))
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = windowed_cell_counts(
+            stream, res=6, window="6 hours", watermark="800 hours"
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start("resume_a")
+    q1.awaitTermination(120)
+    n_first = spark.table("resume_a").count()
+    assert n_first > 0
+
+    # new arrivals while the query is down
+    import shutil
+    extra_dir = tmp_path / "extra"
+    synth_pages(spark, 1500, partitions=3).filter(
+        F.col("url").isNotNull()
+    ).write.parquet(str(extra_dir))
+    import os
+    for i, f in enumerate(sorted(os.listdir(extra_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(extra_dir / f, src / f"late_{i}.parquet")
+
+    q2 = start("resume_b")
+    q2.awaitTermination(120)
+    got = {
+        (r.window, r.cell): r.n_pages for r in spark.table("resume_b").collect()
+    }
+
+    # batch answer over everything now in src
+    from geotiff_spark.operators.extract import with_fused_geo
+
+    batch = (
+        with_fused_geo(spark.read.parquet(str(src)), 6,
+                       carry=("url", "warc_ts", "lang"))
+        .filter(F.col("cell").isNotNull())
+        .groupBy(F.window("warc_ts", "6 hours").alias("window"), "cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    want = {(r.window, r.cell): r.n_pages for r in batch.collect()}
+    assert got == want
