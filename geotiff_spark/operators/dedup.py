@@ -5,12 +5,16 @@ Scale design notes:
 - token_jaccard_pairs: exact set-similarity via token self-join — the
   small-scale oracle; quadratic in the worst case, used only as the
   correctness baseline for the LSH path.
-- minhash_lsh_pairs: the 100 TB path. Signatures are computed entirely
-  JVM-side (xxhash64 + min aggregations — no Python in the hot loop);
-  candidates come from banded-signature equi-joins (shuffle keyed on
-  (band, band_hash) — bounded by collisions, not n²); final exact verify
-  by token jaccard on candidates only.
-- simhash_pairs: 64-bit simhash with segment-bucketed Hamming search.
+- minhash_lsh_pairs: the 100 TB path. Signatures are ZERO-shuffle
+  (row-local JVM shingle hashing + one Arrow-batched numpy minwise pass);
+  candidates come from one (band, band_hash) groupBy with bucket-local
+  pair explosion for normal buckets and a bucket-restricted streamed
+  self-join for pathological ones — bounded by collisions, not n² in any
+  single row; final exact verify by token jaccard on candidates only.
+- simhash_pairs: 64-bit simhash (also zero-shuffle signatures) with
+  segment-bucketed Hamming search.
+- connected_components: duplicate-cluster assembly by min-label
+  propagation over the pair graph.
 """
 
 from __future__ import annotations
@@ -148,6 +152,7 @@ def minhash_signatures(
             return pd.Series([], dtype=object)
         lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
         if (lens == 0).any():
+            # unreachable: empty arrays are filtered out before the UDF
             raise ValueError("empty shingle set (shingle array must be non-empty)")
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in hashes]
@@ -161,8 +166,15 @@ def minhash_signatures(
         signed = out.view(np.int64)
         return pd.Series(list(signed))
 
+    # docs with an empty shingle set (possible when shingle<=1 and the
+    # text has no tokens) are dropped — same semantics as the old
+    # explode/groupBy formulation, which never produced a row for them
     base = F.transform(_shingle_array(text, shingle), lambda s: F.xxhash64(s))
-    return df.select(F.col(key), sigs_udf(base).alias("sigs"))
+    return (
+        df.select(F.col(key), base.alias("hashes"))
+        .filter(F.size("hashes") > 0)
+        .select(F.col(key), sigs_udf(F.col("hashes")).alias("sigs"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -174,6 +186,7 @@ def minhash_lsh_pairs(
     key: str = "doc_id",
     verify: bool = True,
     shingle: int = 3,
+    max_inline_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash over n-token shingles,
     optionally verified with exact token jaccard (verification only
@@ -198,12 +211,19 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(key, "band.band_id", "band.h")
 
-    # bucket-local pair generation instead of a self-join: a self-join
-    # would evaluate the signature stage twice (no exchange reuse across
-    # the a/b renames) and shuffle the stacked rows twice. One groupBy on
+    # bucket-local pair generation for NORMAL buckets: one groupBy on
     # (band_id, band_hash) + an in-bucket pair explode is a single
-    # shuffle and a single signature pass. Bucket sizes are bounded by
-    # near-dup cluster sizes (run exact_dedup first — its job upstream).
+    # shuffle and a single signature pass (a naive self-join would
+    # evaluate the signature stage twice and shuffle stacked twice).
+    # Buckets larger than max_inline_bucket would materialize an O(m²)
+    # struct array inside ONE row, so those few buckets stream their
+    # pairs through a bucket-restricted self-join instead — quadratic
+    # work spread across tasks, never a single giant row. `stacked` is
+    # materialized once so neither path re-runs the signature stage.
+    stacked = stacked.localCheckpoint(eager=True)
+    grouped = stacked.groupBy("band_id", "h").agg(
+        F.collect_list(key).alias("ids")
+    )
     ids = F.array_sort(F.col("ids"))
     pair_expr = F.flatten(
         F.transform(
@@ -214,14 +234,25 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cand = (
-        stacked.groupBy("band_id", "h")
-        .agg(F.collect_list(key).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    small = (
+        grouped.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_inline_bucket)
+        )
         .select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
+    big_keys = grouped.filter(F.size("ids") > max_inline_bucket).select(
+        "band_id", "h"
+    )
+    big_rows = stacked.join(big_keys, ["band_id", "h"])
+    ba = big_rows.withColumnRenamed(key, "id_a")
+    bb = big_rows.withColumnRenamed(key, "id_b")
+    big = (
+        ba.join(bb, ["band_id", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = small.unionByName(big).distinct()
     if not verify:
         return cand
     # exact verify on CANDIDATES ONLY, in the same unit the signatures
@@ -368,14 +399,16 @@ def connected_components(
 ) -> DataFrame:
     """Duplicate-cluster assembly: connected components over a near-dup
     pair graph by min-label propagation. Returns (node_col, component_id)
-    with component_id = the smallest member id; nodes absent from any
-    pair keep their own id (singleton components).
+    with component_id = the smallest member id (any orderable key type);
+    nodes absent from any pair keep their own id (singleton components).
 
     Each iteration is one equi-join + groupBy(min) — O(diameter) rounds,
     which is small for dedup graphs (near-dup clusters are dense, so
     labels traverse them in a couple of hops). Convergence is detected by
-    the monotone label sum (one scalar action per round, no data to the
-    driver); per-round labels are localCheckpointed so lineage stays flat.
+    counting changed labels (type-agnostic; one scalar action per round,
+    no data to the driver); per-round labels are localCheckpointed so
+    lineage stays flat. Raises if max_iters rounds don't converge —
+    silently returning partial labels would corrupt downstream dedup.
     For adversarially long chains swap the propagation step for
     large-star/small-star — the surrounding contract is unchanged.
     """
@@ -393,7 +426,7 @@ def connected_components(
     labels = node_df.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -401,20 +434,32 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("dst", "node")
         )
-        labels = (
-            labels.join(neighbor_min, "node", "left")
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("old_label"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("old_label"),
+                    F.coalesce(F.col("nlabel"), F.col("old_label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.drop("old_label")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters); raise max_iters or use a "
+            "doubling scheme"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component_id")
     )

@@ -172,15 +172,32 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _looks_like_iceberg_table(path: str) -> bool:
+    """True for catalog identifiers (no filesystem path exists) and for
+    path-based tables carrying Iceberg's metadata/ layout. A plain
+    parquet directory returns False, so a runtime jar on the classpath
+    never hijacks parquet reads. Remote (s3/hdfs) path-based tables
+    should pass source='iceberg' explicitly — this probe is local-fs."""
+    import os
+
+    if not os.path.exists(path):
+        return "/" not in path  # db.table-style catalog identifier
+    return os.path.isdir(os.path.join(path, "metadata"))
+
+
 def load_pages(spark: SparkSession, path: str, source: str | None = None) -> DataFrame:
     """Pages scan: Iceberg table when the runtime is present (snapshot
-    isolation + hidden partitioning at 10^12 rows), parquet directory
-    otherwise. `source` forces a branch ('iceberg' | 'parquet'); the
-    default probes the classpath once. Both branches yield the same
+    isolation + hidden partitioning at 10^12 rows) AND the target looks
+    like an Iceberg table, parquet directory otherwise. `source` forces a
+    branch ('iceberg' | 'parquet'). Both branches yield the same
     PAGES_SCHEMA columns, so every downstream operator is source-agnostic.
     """
     if source is None:
-        source = "iceberg" if iceberg_available(spark) else "parquet"
+        source = (
+            "iceberg"
+            if iceberg_available(spark) and _looks_like_iceberg_table(path)
+            else "parquet"
+        )
     if source == "iceberg":
         return spark.read.format("iceberg").load(path)
     if source == "parquet":

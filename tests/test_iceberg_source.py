@@ -22,16 +22,29 @@ def pages_dir(spark, tmp_path_factory):
     return d
 
 
-def test_auto_selection_matches_classpath_probe(spark, pages_dir):
+def test_auto_selection_parquet_dir_never_hijacked(spark, pages_dir):
+    # a plain parquet directory must go to the parquet branch regardless
+    # of whether the Iceberg runtime is on the classpath
     df = load_pages(spark, pages_dir)
-    if iceberg_available(spark):
-        # with a runtime present, auto goes to iceberg — a parquet dir is
-        # not an iceberg table, so this read should have failed instead
-        pytest.skip("iceberg runtime present; covered by the forced arm")
     assert [f.name for f in df.schema.fields] == [
         f.name for f in PAGES_SCHEMA.fields
     ]
     assert df.count() == 500
+
+
+def test_iceberg_table_detection_heuristic(tmp_path):
+    from geotiff_spark.sources.pages import _looks_like_iceberg_table
+
+    # catalog identifier (not a filesystem path)
+    assert _looks_like_iceberg_table("warehouse.pages")
+    # path-based iceberg layout
+    t = tmp_path / "tbl"
+    (t / "metadata").mkdir(parents=True)
+    assert _looks_like_iceberg_table(str(t))
+    # plain parquet dir
+    p = tmp_path / "plain"
+    p.mkdir()
+    assert not _looks_like_iceberg_table(str(p))
 
 
 def test_parquet_branch_schema_parity(spark, pages_dir):

@@ -318,3 +318,61 @@ def test_connected_components_random_vs_union_find(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == want
+
+
+def test_connected_components_string_keys(spark):
+    """Labels may be any orderable type — convergence must not depend on
+    numeric ids (urls and digests are natural dedup keys)."""
+    from geotiff_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs, node_col="doc_id").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from geotiff_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
+def test_minhash_big_bucket_path_matches_inline_path(spark):
+    """Candidate pairs must be identical whether a bucket goes through
+    the inline pair explode or the bucket-restricted self-join."""
+    from geotiff_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "common text shared by every doc here") for i in range(30)]
+    rows += [(100 + i, f"unique{i} totally different words {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    inline = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, verify=False, shingle=1).collect()
+    }
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, verify=False, shingle=1, max_inline_bucket=4
+        ).collect()
+    }
+    assert inline == streamed
+    clique = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    assert clique <= inline  # the identical-doc clique is fully recovered
+
+
+def test_minhash_drops_tokenless_docs(spark):
+    from geotiff_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "some real text"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id for r in minhash_signatures(df, shingle=1).collect()}
+    assert got == {1}
