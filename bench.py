@@ -146,6 +146,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     pages_path = ensure_pages(spark, f"sf{sf}", n_pages)
 
+    # spin up the Python worker pool before any timing — a long-lived
+    # cluster has warm workers, and without this the first Python-stage
+    # query absorbs ~2s of one-time process forks
+    spark.range(10_000, numPartitions=args.parallelism).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     qs = bench_queries(spark, sf_dir, pages_path)
     timings: dict[str, float] = {}
     diagnostics: dict[str, float] = {}
