@@ -386,6 +386,82 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 # ---- text analysis -------------------------------------------------------------
 
+def q_minhash_recall(spark, sf_dir):
+    """Driver-gate recall check for the probabilistic LSH path: verified
+    LSH pairs must be a subset of the exact jaccard pairs (soundness) and
+    recover >= 90% of them (recall). The emitted row is fully
+    deterministic given those properties hold, so the DuckDB oracle can
+    pin it: n_exact from SQL, both flags TRUE. A red row here means the
+    LSH quality regressed, not just that it is 'probabilistic'."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.token_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(
+        docs, threshold=0.7, shingle=1
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_outside = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, n_outside == 0, n_lsh >= 0.9 * n_exact)],
+        "n_exact long, subset_ok boolean, recall_ok boolean",
+    )
+
+
+SQL_MINHASH_RECALL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT COUNT(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.7
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall gate for both ANN variants vs exact brute force (k=5,
+    10 queries): flags pinned TRUE by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "nn_id"
+    )
+    n_exact = exact.count()
+
+    def recall(approx):
+        hits = approx.select("query_id", "nn_id").join(
+            exact, ["query_id", "nn_id"]
+        ).count()
+        return hits / n_exact
+
+    r_lsh = recall(similarity.lsh_topk(emb, queries, k=5))
+    r_ivf = recall(
+        similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    )
+    return spark.createDataFrame(
+        [(n_exact, r_lsh >= 0.5, r_ivf >= 0.5)],
+        "n_exact long, lsh_recall_ok boolean, ivf_recall_ok boolean",
+    )
+
+
+SQL_ANN_RECALL = """
+SELECT CAST(5 * COUNT(DISTINCT vec_id) AS BIGINT) AS n_exact,
+       TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -495,6 +571,8 @@ def textdata_queries():
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
         "ann_lsh_topk": (q_ann_lsh_topk, None),
         "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
+        "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
