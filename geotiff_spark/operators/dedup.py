@@ -42,13 +42,10 @@ def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 
 
 def tokens_df(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
-    """(key, token) distinct pairs — whitespace tokenization, JVM-side."""
-    return (
-        df.select(
-            F.col(key),
-            F.explode(F.array_distinct(F.split(F.col(text), r"\s+"))).alias("token"),
-        )
-        .filter(F.col("token") != "")
+    """(key, token) distinct pairs — whitespace tokenization, JVM-side
+    (the exploded form of the shared shingle/token array)."""
+    return df.select(
+        F.col(key), F.explode(_shingle_array(text, 1)).alias("token")
     )
 
 

@@ -16,6 +16,7 @@ Two tiers (see PLANS.md §1 for the measurements that drove this):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,9 +28,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from geotiff_spark.functions import cells as cellmod
 
 GEO_PATTERN = r"geo:\s*(-?\d+\.\d+),(-?\d+\.\d+)"
-
-
-_GEO_RE = None
+_GEO_RE = re.compile(GEO_PATTERN)
 
 
 def extract_batch(html: pd.Series) -> tuple[list[str], np.ndarray, np.ndarray]:
@@ -46,11 +45,6 @@ def extract_batch(html: pd.Series) -> tuple[list[str], np.ndarray, np.ndarray]:
     and allocates an intermediate Series, while the loop touches each
     string once with C-implemented str methods.
     """
-    global _GEO_RE
-    import re
-
-    if _GEO_RE is None:
-        _GEO_RE = re.compile(GEO_PATTERN)
     n = len(html)
     texts: list[str] = []
     lats = np.full(n, np.nan)

@@ -184,9 +184,28 @@ TIE_RASTER = (
 )
 
 # deterministic model-space sample points inside the austrian extent —
-# pure int64 arithmetic, exact in float64, reproducible in any SQL engine
-TIE_X_SQL = "(4302000.0 + (doc_id * 48271) % 507000)"
-TIE_Y_SQL = "(2621000.0 + (doc_id * 16807 + 3) % 190000)"
+# pure int64 arithmetic, exact in float64, reproducible in any SQL engine.
+# (base, mult, add, mod) shared by the Spark query and the SQL so the two
+# sides cannot drift.
+TIE_X_PARAMS = (4302000.0, 48271, 0, 507000)
+TIE_Y_PARAMS = (2621000.0, 16807, 3, 190000)
+
+
+def _tie_sql(params: tuple) -> str:
+    base, mult, add, mod = params
+    return f"({base!r} + (doc_id * {mult} + {add}) % {mod})"
+
+
+TIE_X_SQL = _tie_sql(TIE_X_PARAMS)
+TIE_Y_SQL = _tie_sql(TIE_Y_PARAMS)
+
+
+def tie_point_col(params: tuple):
+    """The Spark Column form of the same deterministic point expression."""
+    from pyspark.sql import functions as F
+
+    base, mult, add, mod = params
+    return F.lit(base) + (F.col("doc_id") * F.lit(mult) + F.lit(add)) % F.lit(mod)
 
 
 def tiepoints_tables() -> tuple[str, str]:

@@ -97,12 +97,14 @@ def q_tiepoints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: face/edge tables from the trusted kernel + the barycentric
     affine re-expressed in SQL (geotiff_spark.oracle_raster)."""
     from geotiff_spark.operators.sample import with_raster_sample
-    from geotiff_spark.oracle_raster import TIE_RASTER
+    from geotiff_spark.oracle_raster import (
+        TIE_RASTER, TIE_X_PARAMS, TIE_Y_PARAMS, tie_point_col,
+    )
 
     docs = pipeline.load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.lit(4302000.0) + (F.col("doc_id") * F.lit(48271)) % F.lit(507000)).alias("x"),
-        (F.lit(2621000.0) + (F.col("doc_id") * F.lit(16807) + F.lit(3)) % F.lit(190000)).alias("y"),
+        tie_point_col(TIE_X_PARAMS).alias("x"),
+        tie_point_col(TIE_Y_PARAMS).alias("y"),
     )
     return with_raster_sample(
         docs, spark, [TIE_RASTER], TIE_RASTER.rsplit("/", 1)[-1],

@@ -394,10 +394,17 @@ def q_minhash_recall(spark, sf_dir):
     pin it: n_exact from SQL, both flags TRUE. A red row here means the
     LSH quality regressed, not just that it is 'probabilistic'."""
     docs = _t(spark, sf_dir, "documents")
-    exact = dedup.token_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
-    lsh = dedup.minhash_lsh_pairs(
-        docs, threshold=0.7, shingle=1
-    ).select("id_a", "id_b")
+    # each frame feeds two actions (count + anti-join) — materialize once
+    exact = (
+        dedup.token_jaccard_pairs(docs, threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.7, shingle=1)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.count()
     n_lsh = lsh.count()
     n_outside = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
@@ -434,8 +441,11 @@ def q_ann_recall(spark, sf_dir):
     10 queries): flags pinned TRUE by the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = similarity.brute_force_topk(emb, queries, k=5).select(
-        "query_id", "nn_id"
+    # three consumers (count + two recall joins) — materialize once
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nn_id")
+        .localCheckpoint(eager=True)
     )
     n_exact = exact.count()
 
