@@ -166,6 +166,95 @@ FROM orders
 
 # ---- joins -----------------------------------------------------------------
 
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization: per-user sessions split at >30min gaps
+    (lag + cumulative boundary sum — the window-function dual of the
+    streaming session_window operator)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.coalesce(
+        (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"))
+        .cast("int"),
+        F.lit(1),
+    )
+    sess = e.withColumn(
+        "session_idx",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1
+              WHEN LAG(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_hourly_gapfill(spark, sf_dir):
+    """Time-series resample with zero-fill: a generated hour grid
+    (sequence + explode) left-joined against hourly event counts — hours
+    with no events surface as 0, not as missing rows."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grid.join(counts, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+SQL_HOURLY_GAPFILL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT g.hour, COALESCE(c.n, 0) AS n_events
+FROM grid g LEFT JOIN counts c ON c.hour = g.hour
+"""
+
+
 def q_broadcast_join_brand_volume(spark, sf_dir):
     """Small-dim broadcast equi-join: lineitem ⋈ part."""
     li = _t(spark, sf_dir, "lineitem")
@@ -647,6 +736,8 @@ def relational_queries():
         "anti_join": (q_anti_join, SQL_ANTI_JOIN),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST_EVENT),
+        "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "hourly_gapfill": (q_hourly_gapfill, SQL_HOURLY_GAPFILL),
         "window_topn_orders": (q_window_topn_orders, SQL_WINDOW_TOPN_ORDERS),
         "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
         "window_rolling_sum": (q_window_rolling_sum, SQL_WINDOW_ROLLING_SUM),
