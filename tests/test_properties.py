@@ -85,3 +85,68 @@ def test_lzw_roundtrip_via_reference_fixture():
         lzw_decode(data[1000:1100])
     except Exception:
         pass
+
+
+def test_disk_cells_many_matches_scalar(spark=None):
+    import numpy as np
+
+    from geotiff_spark.functions import cells as cellmod
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-89, 89, 40)
+    lon = rng.uniform(-180, 180, 40)
+    for res in (3, 7, 12):
+        ids = cellmod.latlon_to_cell(lat, lon, res)
+        for k in (1, 2, 5):
+            batch = cellmod.disk_cells_many(ids, k)
+            for i, c in enumerate(ids):
+                np.testing.assert_array_equal(
+                    batch[i], cellmod.disk_cells(int(c), k)
+                )
+
+
+def test_minhash_signatures_partition_invariant(spark):
+    from geotiff_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, f"w{i % 7} common text body {i % 3} tail") for i in range(200)]
+    a = minhash_signatures(
+        spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+    ).orderBy("doc_id").collect()
+    b = minhash_signatures(
+        spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+    ).orderBy("doc_id").collect()
+    assert [(r.doc_id, list(r.sigs)) for r in a] == [
+        (r.doc_id, list(r.sigs)) for r in b
+    ]
+
+
+def test_extract_batch_adversarial_markers(spark):
+    """Byte-identity with the JVM substring_index form on edge-case html:
+    multiple/nested markers, missing markers, unicode, empty body."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geotiff_spark.operators.extract import (
+        extract_batch, extract_text_from_html,
+    )
+
+    cases = [
+        b"<article>plain body</article>",
+        b"no markers at all",
+        b"<article>first</article><article>second</article>",
+        b"prefix<article>only open marker",
+        b"only close marker</article>suffix",
+        "<article>unicode ü中文 geo: 48.20820,16.37380</article>".encode(),
+        b"<article></article>",
+        b"",
+        b"<article>outer<article>inner</article>tail</article>",
+    ]
+    texts, lats, lons = extract_batch(pd.Series(cases))
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    jvm = [
+        r.t for r in df.select(
+            extract_text_from_html(F.col("html")).alias("t")
+        ).collect()
+    ]
+    assert texts == jvm
+    assert lats[5] == 48.20820 and lons[5] == 16.37380
