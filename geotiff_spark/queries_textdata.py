@@ -436,6 +436,43 @@ WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.7
 """
 
 
+def q_simhash_complete(spark, sf_dir):
+    """The pigeonhole Hamming search is EXACT, so its output must equal
+    the brute-force all-pairs hamming filter over the same signatures -
+    both directions (complete and sound). Signature values are
+    engine-specific, but the equality flags and the signature row count
+    are deterministic, so the oracle pins them."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs).localCheckpoint(eager=True)
+    bucketed = dedup.simhash_pairs_from_sigs(sigs, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    missing = brute.exceptAll(bucketed).count()
+    extra = bucketed.exceptAll(brute).count()
+    return spark.createDataFrame(
+        [(sigs.count(), missing == 0, extra == 0)],
+        "n_docs long, complete_ok boolean, sound_ok boolean",
+    )
+
+
+SQL_SIMHASH_COMPLETE = r"""
+SELECT COUNT(*) AS n_docs, TRUE AS complete_ok, TRUE AS sound_ok
+FROM documents
+WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall gate for both ANN variants vs exact brute force (k=5,
     10 queries): flags pinned TRUE by the oracle."""
@@ -582,6 +619,7 @@ def textdata_queries():
         "ann_lsh_topk": (q_ann_lsh_topk, None),
         "ann_ivf_topk": (q_ann_ivf_topk, None),
         "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
+        "simhash_complete": (q_simhash_complete, SQL_SIMHASH_COMPLETE),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
