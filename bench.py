@@ -157,6 +157,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     diagnostics: dict[str, float] = {}
     counts: dict[str, int] = {}
+    # global re-run budget: retries stop once the whole bench has spent
+    # this much wall time, so a sustained neighbor burst degrades the
+    # numbers instead of blowing the harness timeout
+    bench_start = time.time()
+    retry_deadline = bench_start + float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "240")
+    )
     for name, fn in qs.items():
         if args.only and name not in args.only:
             continue
@@ -164,12 +171,17 @@ def main() -> int:
         counts[name] = fn()
         dt = round(time.time() - t0, 3)
         # co-tenant noise protection (see BENCH/BASELINE.md methodology):
-        # a slow first reading gets one re-run and keeps the min — cheap
-        # queries aren't re-run, so the suite stays bounded
-        if dt > 5.0:
+        # slow readings get re-runs (min kept) — once for anything >5s,
+        # and up to twice more while the reading is pathological (>15s,
+        # i.e. a sustained neighbor burst). Cheap queries aren't re-run.
+        reruns = 0
+        while time.time() < retry_deadline and (
+            (dt > 5.0 and reruns == 0) or (dt > 15.0 and reruns < 3)
+        ):
             t0 = time.time()
             fn()
             dt = min(dt, round(time.time() - t0, 3))
+            reruns += 1
         (diagnostics if name in DIAGNOSTIC_QUERIES else timings)[name] = dt
 
     # THE pages/sec metric: steady-state throughput at >= 2M pages, so
@@ -189,6 +201,19 @@ def main() -> int:
             t0 = time.time()
             counts["pages_e2e_bign"] = pages_e2e_count(spark, bign_path)
             steady.append(time.time() - t0)
+        # sustained-burst guard: if even the best of 3 looks pathological
+        # (>6 µs/page where good runs are ~1 µs/page), try up to 2 more
+        # while the global retry budget allows
+        extra = 0
+        while (
+            time.time() < retry_deadline
+            and min(steady) > 6e-6 * bign_n
+            and extra < 2
+        ):
+            t0 = time.time()
+            pages_e2e_count(spark, bign_path)
+            steady.append(time.time() - t0)
+            extra += 1
         timings["pages_e2e_steady"] = round(min(steady), 3)
         pages_per_sec = round(bign_n / min(steady), 1)
 
