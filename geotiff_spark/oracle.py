@@ -23,22 +23,34 @@ LAT_SQL = "(36.0 + ((doc_id * 2654435761) % 220000) / 10000.0)"
 LON_SQL = "(-10.0 + ((doc_id * 40503 + 7) % 400000) / 10000.0)"
 
 
-def cell_sql(res: int, lat_expr: str = LAT_SQL, lon_expr: str = LON_SQL) -> str:
-    """SELECT-able expression set: a CTE producing (doc_id, cell) that
-    matches cells.latlon_to_cell exactly."""
+def grid_exprs_sql(res: int, lat_expr: str, lon_expr: str) -> tuple[str, str]:
+    """(ix, iy) SQL expressions matching cells.latlon_to_grid exactly."""
     n = 1 << res
     ix = f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n - 1})"
     iy = f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    return ix, iy
+
+
+def morton_sql(res: int, ix: str = "ix", iy: str = "iy") -> str:
+    """Unrolled bit-interleave + resolution tag over grid-coord columns —
+    the SQL form of cells.grid_to_cell."""
     terms = []
     for i in range(res):
-        terms.append(f"(((ix >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((iy >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ix} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({iy} >> {i}) & 1) << {2 * i + 1})")
     morton = " + ".join(terms) if terms else "0"
+    return f"CAST({res} AS BIGINT) * {1 << 57} + ({morton})"
+
+
+def cell_sql(res: int, lat_expr: str = LAT_SQL, lon_expr: str = LON_SQL) -> str:
+    """SELECT-able expression set: a CTE producing (doc_id, cell) that
+    matches cells.latlon_to_cell exactly."""
+    ix, iy = grid_exprs_sql(res, lat_expr, lon_expr)
     return f"""
 WITH grid AS (
   SELECT doc_id, {ix} AS ix, {iy} AS iy FROM documents
 )
-SELECT doc_id, CAST({res} AS BIGINT) * {1 << 57} + ({morton}) AS cell
+SELECT doc_id, {morton_sql(res)} AS cell
 FROM grid
 """
 

@@ -347,6 +347,36 @@ GROUP BY raster_id, tile_x, tile_y
 """
 
 
+def vectorize_sql(res: int = 7, threshold: float = 200.0) -> str:
+    """Oracle for raster→vector on the identity-transform marbles fixture:
+    pixel centers ARE model coords, so cell assignment is the plain
+    clip + grid + Morton arithmetic (shared with oracle.cell_sql) over
+    the pixel parquet; per-cell count + max of passing values."""
+    from geotiff_spark import oracle
+
+    _, all_path = pixel_tables()
+    # vectorize_threshold clips model coords to the lat/lon domain before
+    # cell encoding (lon=x, lat=y convention)
+    lon = "LEAST(GREATEST(ix + 0.5, -180.0), 180.0)"
+    lat = "LEAST(GREATEST(iy + 0.5, -90.0), 90.0)"
+    gx, gy = oracle.grid_exprs_sql(res, lat, lon)
+    return f"""
+WITH px AS (
+  SELECT ix, iy, value FROM read_parquet('{all_path}')
+  WHERE raster_id = 'marbles.tif' AND value > {threshold!r}
+),
+grid AS (
+  SELECT {gx} AS gix, {gy} AS giy, value FROM px
+)
+SELECT 'marbles.tif' AS raster_id,
+       {oracle.morton_sql(res, 'gix', 'giy')} AS cell,
+       COUNT(*) AS n_pixels,
+       MAX(value) AS v_max
+FROM grid
+GROUP BY cell
+"""
+
+
 def pyramid_level1_stats_sql(tile_size: int = 256) -> str:
     """Oracle for pyramid level 1: the engine's 2x2 floor-mean downsample
     (with edge-replication padding) equals FLOOR(AVG(children)) grouped by

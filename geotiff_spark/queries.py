@@ -200,6 +200,21 @@ def q_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_stats(pyr.filter(F.col("level") == 1).drop("level"))
 
 
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector: cells whose band-0 pixel value exceeds the
+    threshold (the cell-space footprint of a value mask), on marbles.tif.
+    Its identity transform makes the whole chain — pixel centers → model
+    coords → clip → Morton cell — exactly SQL-expressible over the pixel
+    parquet (oracle: geotiff_spark.oracle_raster.vectorize_sql)."""
+    from geotiff_spark.operators.tiling import vectorize_threshold
+    from geotiff_spark.sources.rasters import read_rasters
+
+    rasters = read_rasters(spark, "/root/reference/resources").filter(
+        F.col("raster_id") == "marbles.tif"
+    )
+    return vectorize_threshold(rasters, res=7, threshold=200.0)
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median/p90) per order status."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -227,6 +242,7 @@ def multimodal_queries() -> Registry:
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_level1_stats_sql()),
+        "vectorize": (q_vectorize, oracle_raster.vectorize_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
 
