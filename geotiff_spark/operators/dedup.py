@@ -174,51 +174,30 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.5,
-    num_hashes: int = 64,
-    bands: int = 16,
-    text: str = "text",
-    key: str = "doc_id",
-    verify: bool = True,
-    shingle: int = 3,
+def bucket_candidate_pairs(
+    stacked: DataFrame,
+    key: str,
+    bucket_cols: list[str],
     max_inline_bucket: int = 256,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash over n-token shingles,
-    optionally verified with exact token jaccard (verification only
-    touches candidates)."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text, key, shingle)
-    # band hash = xxhash64 of the band's signature slice (hashing the
-    # array directly — identical sig slices collide, which is the LSH
-    # semantics; `sigs` is a materialized column so slices are cheap)
-    stacked = sigs.select(
-        F.col(key),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("h"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(key, "band.band_id", "band.h")
+    """Distinct candidate pairs (id_a < id_b) from a bucketed table —
+    the shared core of every LSH family here (MinHash bands, sign-LSH
+    tables, simhash segments all reduce to "emit same-bucket pairs").
 
-    # bucket-local pair generation for NORMAL buckets: one groupBy on
-    # (band_id, band_hash) + an in-bucket pair explode is a single
-    # shuffle and a single signature pass (a naive self-join would
-    # evaluate the signature stage twice and shuffle stacked twice).
-    # Buckets larger than max_inline_bucket would materialize an O(m²)
-    # struct array inside ONE row, so those few buckets stream their
-    # pairs through a bucket-restricted self-join instead — quadratic
-    # work spread across tasks, never a single giant row. `stacked` is
-    # materialized once so neither path re-runs the signature stage.
-    stacked = stacked.localCheckpoint(eager=True)
-    grouped = stacked.groupBy("band_id", "h").agg(
+    One groupBy on the bucket key + an in-bucket pair explode is a single
+    shuffle and a single pass over `stacked` (a naive self-join would
+    evaluate the upstream signature stage twice and shuffle it twice).
+    Buckets larger than max_inline_bucket would materialize an O(m²)
+    struct array inside ONE row, so those few buckets stream their pairs
+    through a bucket-restricted self-join instead — quadratic work spread
+    across tasks, never a single giant row. `stacked` is materialized
+    once so neither path re-runs the signature stage. (localCheckpoint is
+    the single-host materializer; on a real cluster with executor churn
+    use reliable checkpoint() / persist-with-replication — the blocks
+    have no lineage to recompute from.)
+    """
+    stacked = stacked.select(key, *bucket_cols).localCheckpoint(eager=True)
+    grouped = stacked.groupBy(*bucket_cols).agg(
         F.collect_list(key).alias("ids")
     )
     ids = F.array_sort(F.col("ids"))
@@ -239,17 +218,64 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
     )
     big_keys = grouped.filter(F.size("ids") > max_inline_bucket).select(
-        "band_id", "h"
+        *bucket_cols
     )
-    big_rows = stacked.join(big_keys, ["band_id", "h"])
+    big_rows = stacked.join(big_keys, bucket_cols)
     ba = big_rows.withColumnRenamed(key, "id_a")
     bb = big_rows.withColumnRenamed(key, "id_b")
     big = (
-        ba.join(bb, ["band_id", "h"])
+        ba.join(bb, bucket_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    cand = small.unionByName(big).distinct()
+    return small.unionByName(big).distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text: str = "text",
+    key: str = "doc_id",
+    verify: bool = True,
+    shingle: int = 3,
+    max_inline_bucket: int = 256,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash over n-token shingles,
+    optionally verified with exact token jaccard (verification only
+    touches candidates).
+
+    Recall is a deterministic function of (num_hashes, bands) given the
+    fixed hash family: a jaccard-j pair collides in a band of r rows with
+    probability ~j^r, missing all b bands with (1-j^r)^b — at the default
+    64/16 (r=4) a 0.8-jaccard pair escapes with ~2e-4; at 64 hashes in 32
+    bands (r=2) with ~6e-15, which is the configuration the exact-match
+    registry queries use (verified pair set == the exact jaccard pair set
+    on the test corpora)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text, key, shingle)
+    # band hash = xxhash64 of the band's signature slice (hashing the
+    # array directly — identical sig slices collide, which is the LSH
+    # semantics; `sigs` is a materialized column so slices are cheap)
+    stacked = sigs.select(
+        F.col(key),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("h"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(key, "band.band_id", "band.h")
+
+    cand = bucket_candidate_pairs(
+        stacked, key, ["band_id", "h"], max_inline_bucket
+    )
     if not verify:
         return cand
     # exact verify on CANDIDATES ONLY, in the same unit the signatures
@@ -339,7 +365,19 @@ def simhash_pairs_from_sigs(
     key: str = "doc_id",
 ) -> DataFrame:
     """Pigeonhole Hamming search over a precomputed (key, simhash) table —
-    the bucketing core of simhash_pairs, testable with crafted signatures."""
+    the bucketing core of simhash_pairs, testable with crafted signatures.
+
+    max_hamming must be in [1, 31]: 0 would need a single full-width
+    segment whose 2**64-1 mask overflows LongType (use exact_dedup or a
+    direct groupBy on the signature for exact-duplicate search), and >31
+    leaves segments under 2 bits, at which point the pigeonhole join is
+    a cross join in disguise.
+    """
+    if not 1 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming must be in [1, 31], got {max_hamming} "
+            "(for exact-signature match use exact_dedup / groupBy(simhash))"
+        )
     segs = max_hamming + 1
     width = 64 // segs
     # mask, not `%`: Spark's % keeps the dividend's sign, so negative
@@ -404,7 +442,12 @@ def connected_components(
     labels traverse them in a couple of hops). Convergence is detected by
     counting changed labels (type-agnostic; one scalar action per round,
     no data to the driver); per-round labels are localCheckpointed so
-    lineage stays flat. Raises if max_iters rounds don't converge —
+    lineage stays flat. localCheckpoint stores lineage-free blocks on
+    executors — right for this sandbox's single JVM, but on a real
+    cluster an executor loss makes them unrecoverable mid-job: deploy
+    with spark.sparkContext.setCheckpointDir(...) and swap in reliable
+    .checkpoint() (or persist with replicated storage) for the per-round
+    frames. Raises if max_iters rounds don't converge —
     silently returning partial labels would corrupt downstream dedup.
     For adversarially long chains swap the propagation step for
     large-star/small-star — the surrounding contract is unchanged.

@@ -139,6 +139,57 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 32,
+    max_inline_bucket: int = 512,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via sign-LSH self-bucketing + exact
+    verify — the scale form of embedding near-dup detection.
+
+    Shape: one Arrow-batched bucket pass over the corpus (pure map), one
+    groupBy per-bucket candidate generation (the only shuffle of vectors'
+    ids), exact JVM cosine on candidates only. Output ⊆ the exact pair
+    set always (every candidate is re-scored); recall is governed by
+    (n_planes, n_tables): a pair at angle θ shares a table's bucket with
+    probability (1-θ/π)^n_planes and escapes all tables with
+    (1-(1-θ/π)^n_planes)^n_tables — deterministic here because the
+    hyperplanes are seeded. At the defaults a cos=0.4 pair (θ≈66°)
+    escapes with ~1e-4; the registry pins equality against the exact
+    crossJoin oracle on the test corpora.
+
+    Scale honesty: the candidate volume is ~n_tables/2^n_planes of the
+    full cross product per table-bucket population, so at a *permissive*
+    threshold like 0.4 (random-vector tail, near-orthogonal pairs) the
+    pruning factor is modest — production near-dup thresholds (cos ≥
+    0.85, θ ≤ 32°) allow n_planes ≈ 12-16 where the same operator prunes
+    by 100-1000× while holding recall. The parameters scale the knob; the
+    plan shape (map → bucket shuffle → verify candidates) is invariant
+    and never materializes the cross product.
+    """
+    from geotiff_spark.operators.dedup import bucket_candidate_pairs
+
+    bu = bucket_udf(dim, n_planes, n_tables)
+    stacked = corpus.select(
+        F.col(key), F.explode(bu(F.col(vec))).alias("bucket")
+    )
+    cand = bucket_candidate_pairs(stacked, key, ["bucket"], max_inline_bucket)
+    a = corpus.select(F.col(key).alias("id_a"), F.col(vec).alias("va"))
+    b = corpus.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 

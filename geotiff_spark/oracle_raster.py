@@ -28,13 +28,20 @@ import os
 
 import numpy as np
 
-ORACLE_DIR = "/tmp/geotiff_spark_oracle_v1"
+ORACLE_DIR = "/tmp/geotiff_spark_oracle_v2"
 
 AUSTRIAN = (
     "/root/reference/resources/"
     "austrian_capitals_model_tie_point_and_pixel_scale_pixel_is_area.tif"
 )
 RESOURCE_DIR = "/root/reference/resources"
+# committed synthetic fixtures (tiled + planar + deflate — layouts the
+# reference corpus lacks; see scripts/make_synth_fixture.py)
+SYNTH_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+# every dir whose *.tif files form the raster-query corpus (tile_stats,
+# pyramid_stats and their oracles must agree on this list)
+CORPUS_DIRS = [RESOURCE_DIR, SYNTH_DIR]
 
 
 def _write_parquet(path: str, cols: dict[str, np.ndarray]) -> None:
@@ -61,7 +68,9 @@ def pixel_tables() -> tuple[str, str]:
         return austrian_path, all_path
     os.makedirs(ORACLE_DIR, exist_ok=True)
 
-    paths = sorted(glob.glob(f"{RESOURCE_DIR}/*.tif"))
+    paths = sorted(
+        p for d in CORPUS_DIRS for p in glob.glob(f"{d}/*.tif")
+    )
     records = load_raster_records(paths)
 
     rids, ixs, iys, vals = [], [], [], []
@@ -269,7 +278,18 @@ def tiepoints_sample_sql() -> str:
     matching the kernel's mesh-order scan), the exact _locate/_interpolate
     barycentric formulas, floor/bounds, pixel gather. Uncovered points
     (wedge holes — faithful to the reference) and out-of-bounds indices
-    yield NULL, matching strict=False bulk sampling."""
+    yield NULL, matching strict=False bulk sampling.
+
+    KNOWN DIVERGENCE (measure-zero for the current points): containment
+    here uses `cross >= 0`, which treats a cross product of -0.0 as
+    inside, while the Python kernel uses ~np.signbit(cross), which treats
+    -0.0 as OUTSIDE. A sample point lying exactly on a shared edge (or on
+    an open-boundary bisector ray, where adjacent affines differ) could
+    therefore be assigned to a different face by the two sides. The
+    deterministic integer-derived TIE_X/Y_PARAMS points never land on
+    such a ray (verified by the green hash-match); if sample points ever
+    become user-supplied, emulate the sign-bit test in SQL, e.g.
+    CASE WHEN cross = 0 THEN SIGN(1.0/cross) >= 0 ELSE cross > 0 END."""
     from geotiff_spark.operators.sample import load_raster_records
 
     faces_path, edges_path = tiepoints_tables()
@@ -377,26 +397,40 @@ GROUP BY cell
 """
 
 
-def pyramid_level1_stats_sql(tile_size: int = 256) -> str:
-    """Oracle for pyramid level 1: the engine's 2x2 floor-mean downsample
-    (with edge-replication padding) equals FLOOR(AVG(children)) grouped by
-    (ix//2, iy//2) — the replicated row/col is a copy of the only real
-    row/col inside the same parent block, so duplicates never change the
-    mean. Integer fixture values keep every aggregate exact."""
+def pyramid_stats_sql(levels: int = 2, tile_size: int = 256) -> str:
+    """Oracle for pyramid levels 1..levels: the engine's 2x2 floor-mean
+    downsample (with edge-replication padding) equals FLOOR(AVG(children))
+    grouped by (ix//2, iy//2) — the replicated row/col is a copy of the
+    only real row/col inside the same parent block, so duplicates never
+    change the mean; the argument applies recursively, so level k is k
+    nested FLOOR(AVG) groupings. CONSTRAINT: exact only for integer-dtype
+    rasters — build_pyramid floors the 2x2 mean only for integer dtypes
+    (operators/tiling.py), so a float-typed fixture added to CORPUS_DIRS
+    would need the FLOOR() dropped per-raster here. All current corpus
+    fixtures are u8/i16/u16; integer values keep every aggregate exact."""
     _, all_path = pixel_tables()
-    return f"""
-WITH parent AS (
-  SELECT raster_id, ix // 2 AS px, iy // 2 AS py,
-         FLOOR(AVG(value)) AS pv
-  FROM read_parquet('{all_path}')
-  GROUP BY raster_id, ix // 2, iy // 2
-)
-SELECT raster_id,
-       CAST(px // {tile_size} AS INTEGER) AS tile_x,
-       CAST(py // {tile_size} AS INTEGER) AS tile_y,
-       MIN(pv) AS v_min,
-       AVG(pv) AS v_mean,
-       MAX(pv) AS v_max
-FROM parent
-GROUP BY raster_id, tile_x, tile_y
-"""
+    lvl_sql = []
+    prev = f"SELECT raster_id, ix, iy, value FROM read_parquet('{all_path}')"
+    for lvl in range(1, levels + 1):
+        lvl_sql.append(
+            f"lvl{lvl} AS (\n"
+            f"  SELECT raster_id, ix // 2 AS ix, iy // 2 AS iy,\n"
+            f"         FLOOR(AVG(value)) AS value\n"
+            f"  FROM ({prev})\n"
+            f"  GROUP BY raster_id, ix // 2, iy // 2\n"
+            f")"
+        )
+        prev = f"SELECT * FROM lvl{lvl}"
+    selects = [
+        f"""SELECT raster_id, {lvl} AS level,
+       CAST(ix // {tile_size} AS INTEGER) AS tile_x,
+       CAST(iy // {tile_size} AS INTEGER) AS tile_y,
+       MIN(value) AS v_min,
+       AVG(value) AS v_mean,
+       MAX(value) AS v_max
+FROM lvl{lvl}
+GROUP BY raster_id, tile_x, tile_y"""
+        for lvl in range(1, levels + 1)
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(lvl_sql) + "\n" + union

@@ -176,28 +176,41 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster tiling + per-tile pruning stats over the reference corpus —
-    exact oracle via the trusted-decoder pixel parquet
+    """Raster tiling + per-tile pruning stats over the full corpus —
+    the 9 reference fixtures PLUS the committed synthetic tiled+planar+
+    deflate fixture (scripts/make_synth_fixture.py), so the tiled/planar
+    decode branches (functions/tiff.py) sit on the driver-verified path.
+    Exact oracle via the trusted-decoder pixel parquet
     (geotiff_spark.oracle_raster.tile_stats_sql)."""
     from geotiff_spark.operators.tiling import raster_to_tiles, tile_stats
+    from geotiff_spark.oracle_raster import CORPUS_DIRS
     from geotiff_spark.sources.rasters import read_rasters
 
-    rasters = read_rasters(spark, "/root/reference/resources")
+    rasters = read_rasters(spark, CORPUS_DIRS)
     return tile_stats(raster_to_tiles(rasters, tile_size=256))
 
 
 def q_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile pyramid level 1 (2x2 floor-mean overview) -> per-tile stats;
-    exact oracle via grouped FLOOR(AVG) over the pixel parquet
-    (oracle_raster.pyramid_level1_stats_sql)."""
+    """Tile pyramid levels 1 AND 2 (recursive 2x2 floor-mean overviews)
+    -> per-tile stats with a level column, over the same corpus as
+    tile_stats; exact oracle via nested grouped FLOOR(AVG) over the pixel
+    parquet (oracle_raster.pyramid_stats_sql), which pins the recursive
+    downsample (floor-mean of floor-mean), not just one level."""
     from geotiff_spark.operators.tiling import (
         build_pyramid, raster_to_tiles, tile_stats,
     )
+    from geotiff_spark.oracle_raster import CORPUS_DIRS
     from geotiff_spark.sources.rasters import read_rasters
 
-    rasters = read_rasters(spark, "/root/reference/resources")
-    pyr = build_pyramid(raster_to_tiles(rasters, tile_size=256), levels=1)
-    return tile_stats(pyr.filter(F.col("level") == 1).drop("level"))
+    rasters = read_rasters(spark, CORPUS_DIRS)
+    pyr = build_pyramid(raster_to_tiles(rasters, tile_size=256), levels=2)
+    out = None
+    for lvl in (1, 2):
+        stats = tile_stats(
+            pyr.filter(F.col("level") == lvl).drop("level")
+        ).withColumn("level", F.lit(lvl))
+        out = stats if out is None else out.unionByName(stats)
+    return out
 
 
 def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,7 +254,7 @@ def multimodal_queries() -> Registry:
         "video_frame_sample": (
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
-        "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_level1_stats_sql()),
+        "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_stats_sql(levels=2)),
         "vectorize": (q_vectorize, oracle_raster.vectorize_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
@@ -326,15 +339,54 @@ def streaming_queries() -> Registry:
 # Assemble
 # --------------------------------------------------------------------------
 
-def registry() -> Registry:
-    reg: Registry = {}
-    reg.update(spatial_queries())
-    from geotiff_spark.queries_relational import relational_queries
+# The driver verifies (rows + schema + value-hash vs the DuckDB oracle)
+# the FIRST ~50 registry entries in order, so ordering is a correctness
+# contract, not cosmetics. Priority: (1) spatial flagships, (2) raster /
+# multimodal / streaming / textstats queries, (3) the dedup + similarity
+# suite including every no_oracle query's named green gate, (4) enough
+# relational operators to fill the window. TAIL_QUERIES lists the only
+# entries allowed to fall outside the window: relational queries whose
+# code is stable and driver-green since round 2, and the `_exact`
+# quadratic baselines that share an oracle with an in-window LSH primary.
+# tests/test_registry_order.py enforces this contract.
+DRIVER_WINDOW = 50
 
-    reg.update(relational_queries())
+TAIL_QUERIES = [
+    # r02-green stable relational fillers (lowest information density)
+    "window_topn_orders",
+    "global_topk",
+    "window_lag_delta",
+    "window_rolling_sum",
+    "set_ops",
+    "scalar_functions",
+    "json_extract",
+    "grouping_sets",
+    "pivot_status_by_priority",
+    "window_distribution",
+    "top_tokens",
+    "haversine_to_vienna",
+    "small_quantity_revenue",
+    # exact quadratic baselines — same oracle as their in-window primary
+    "dedup_components_exact",
+    "corpus_curation_exact",
+    "embedding_near_dups_exact",
+]
+
+
+def registry() -> Registry:
+    from geotiff_spark.queries_relational import relational_queries
     from geotiff_spark.queries_textdata import textdata_queries
 
-    reg.update(textdata_queries())
-    reg.update(multimodal_queries())
-    reg.update(streaming_queries())
+    pool: Registry = {}
+    pool.update(spatial_queries())
+    pool.update(multimodal_queries())
+    pool.update(streaming_queries())
+    pool.update(textdata_queries())
+    pool.update(relational_queries())
+
+    reg: Registry = {name: pool.pop(name) for name in list(pool)
+                     if name not in TAIL_QUERIES}
+    for name in TAIL_QUERIES:
+        reg[name] = pool.pop(name)
+    assert not pool
     return reg

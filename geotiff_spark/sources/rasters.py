@@ -119,17 +119,21 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-def read_rasters(spark: SparkSession, path: str, glob: str = "*.tif") -> DataFrame:
+def read_rasters(
+    spark: SparkSession, path: str | list[str], glob: str = "*.tif"
+) -> DataFrame:
     """Scan GeoTIFF files and decode to the rasters DataFrame.
 
     ``spark.read.format('binaryFile')`` parallelizes across files; decode
     runs in ``mapInPandas`` (Arrow batches, no per-row Python overhead on
-    the Spark side; the kernel itself is whole-file numpy).
+    the Spark side; the kernel itself is whole-file numpy). ``path`` may
+    be one directory or a list of directories (multi-source corpus).
     """
+    paths = [path] if isinstance(path, str) else list(path)
     scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
-        .load(path)
+        .load(paths)
         .select("path", "content")
     )
     return scan.mapInPandas(_decode_batches, schema=RASTER_SCHEMA)

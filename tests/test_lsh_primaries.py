@@ -1,0 +1,138 @@
+"""Round-3 primaries: the LSH-bucketed forms that replaced quadratic
+registry queries must EQUAL their exact baselines on the test corpora
+(deterministic seeds + deterministic data ⇒ this is a hard equality, not
+a flaky recall bound), and the shared bucket machinery must behave.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_embedding_lsh_near_dups_equal_exact(spark):
+    from geotiff_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = set(
+        map(
+            tuple,
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", similarity.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.4)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+            .collect(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            similarity.lsh_near_dup_pairs(
+                emb, threshold=0.4, n_planes=3, n_tables=32
+            ).collect(),
+        )
+    )
+    assert got == exact and len(exact) > 0
+
+
+def test_lsh_fed_components_equal_exact_fed(spark):
+    from geotiff_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh_pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.8, shingle=1, num_hashes=64, bands=32
+    )
+    exact_pairs = dedup.token_jaccard_pairs(docs, threshold=0.8)
+    assert set(map(tuple, lsh_pairs.select("id_a", "id_b").collect())) == set(
+        map(tuple, exact_pairs.select("id_a", "id_b").collect())
+    )
+    lsh_comp = dict(
+        dedup.connected_components(lsh_pairs, nodes=docs).collect()
+    )
+    exact_comp = dict(
+        dedup.connected_components(exact_pairs, nodes=docs).collect()
+    )
+    assert lsh_comp == exact_comp and len(lsh_comp) > 0
+
+
+def test_bucket_candidate_pairs_streams_big_buckets(spark):
+    from geotiff_spark.operators.dedup import bucket_candidate_pairs
+
+    rows = [(i, i % 2) for i in range(40)]
+    stacked = spark.createDataFrame(rows, "doc_id long, bucket long")
+    got = set(
+        map(
+            tuple,
+            bucket_candidate_pairs(
+                stacked, "doc_id", ["bucket"], max_inline_bucket=5
+            ).collect(),
+        )
+    )
+    want = {
+        (a, b)
+        for a in range(40)
+        for b in range(40)
+        if a < b and a % 2 == b % 2
+    }
+    assert got == want
+
+
+def test_simhash_max_hamming_validation(spark):
+    from geotiff_spark.operators.dedup import simhash_pairs_from_sigs
+
+    sigs = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    for bad in (0, 32, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_pairs_from_sigs(sigs, max_hamming=bad)
+
+
+def test_train_split_key_arithmetic_survives_huge_ids(spark):
+    """The split hash must not overflow int64 for ids at 10^12 scale —
+    the reduced-then-multiplied form stays below 2.7e18 for any
+    non-negative id."""
+    big = spark.createDataFrame(
+        [(0,), (3_500_000_000,), (10**12,), (2**62,)], "doc_id long"
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000_007)) * F.lit(2654435761)
+        + F.lit(17),
+        F.lit(100),
+    )
+    vals = [r[0] for r in big.select(bucket.alias("b")).collect()]
+    assert all(0 <= v < 100 for v in vals)
+    import duckdb
+
+    duck = duckdb.sql(
+        "SELECT ((doc_id % 1000000007) * 2654435761 + 17) % 100 FROM "
+        "(VALUES (0::BIGINT), (3500000000::BIGINT), (1000000000000::BIGINT),"
+        " (4611686018427387904::BIGINT)) t(doc_id)"
+    ).fetchall()
+    assert [int(r[0]) for r in duck] == vals
+
+
+def test_synth_fixture_in_corpus(spark):
+    """The committed tiled+planar+deflate fixture decodes through the
+    distributed read path alongside the reference corpus."""
+    import numpy as np
+
+    from geotiff_spark.functions.tiff import NUMPY_BY_NAME
+    from geotiff_spark.oracle_raster import CORPUS_DIRS
+    from geotiff_spark.sources.rasters import read_rasters
+
+    rows = (
+        read_rasters(spark, CORPUS_DIRS)
+        .filter(F.col("raster_id") == "synth_tiled_planar_deflate.tif")
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["error"] is None
+    assert (r["width"], r["height"], r["num_samples"]) == (520, 300, 2)
+    arr = np.frombuffer(bytes(r["data"]), dtype=NUMPY_BY_NAME[r["dtype"]])
+    arr = arr.reshape(300, 520, 2)
+    iy, ix = np.mgrid[0:300, 0:520]
+    assert (arr[:, :, 0] == ((iy * 31 + ix * 17) % 1021)).all()
+    assert (arr[:, :, 1] == ((iy * 31 + ix * 17 + 7) % 1021)).all()

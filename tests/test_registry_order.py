@@ -1,0 +1,82 @@
+"""Registry-ordering contract: the driver verifies only the FIRST
+~DRIVER_WINDOW registry entries, so this test pins what is allowed to
+fall outside that window. It exists because round 2 silently starved the
+correctness gate: 12 new queries were appended past the window and never
+got a driver row (VERDICT round 2, "What's wrong" #1).
+"""
+
+import json
+import os
+
+from geotiff_spark.queries import DRIVER_WINDOW, TAIL_QUERIES, registry
+
+R02 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
+
+
+def test_every_query_has_fn_and_registry_is_well_formed():
+    reg = registry()
+    assert len(reg) == len(set(reg)), "duplicate names"
+    for name, (fn, sql) in reg.items():
+        assert callable(fn), name
+        assert sql is None or isinstance(sql, str), name
+
+
+def test_window_contains_everything_not_explicitly_tailed():
+    names = list(registry())
+    head, tail = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
+    # nothing outside the window except the declared tail, in order
+    assert tail == [q for q in TAIL_QUERIES if q in tail]
+    assert set(tail) <= set(TAIL_QUERIES), (
+        f"undeclared queries past the driver window: "
+        f"{sorted(set(tail) - set(TAIL_QUERIES))} — new queries must land "
+        f"inside the first {DRIVER_WINDOW} entries (or be added to "
+        f"TAIL_QUERIES with a justification)"
+    )
+    assert not set(head) & set(TAIL_QUERIES)
+
+
+def test_tail_entries_are_individually_justified():
+    """A query may sit past the driver window only if (a) it was
+    hash-green in the round-2 driver run and its module is unchanged in
+    spirit (stable relational fillers), or (b) it is an `_exact` baseline
+    sharing its oracle string with an in-window primary."""
+    reg = registry()
+    names = list(reg)
+    head = set(names[:DRIVER_WINDOW])
+    with open(R02) as fh:
+        r02 = json.load(fh)
+
+    for q in names[DRIVER_WINDOW:]:
+        if q.endswith("_exact"):
+            primary = q[: -len("_exact")]
+            assert primary in head, q
+            assert reg[q][1] == reg[primary][1], (
+                f"{q} must share its oracle with in-window {primary}"
+            )
+        else:
+            row = r02.get(q)
+            assert row and row.get("hash_match"), (
+                f"{q} is past the driver window but has no green round-2 "
+                "row — move it inside the window"
+            )
+
+
+def test_oracle_coverage_bookkeeping():
+    """Every no-oracle (probabilistic) query must have a named in-window
+    gate companion whose oracle pins its quality flags."""
+    reg = registry()
+    names = list(reg)
+    head = set(names[:DRIVER_WINDOW])
+    gates = {
+        "minhash_lsh_pairs": "minhash_recall",
+        "simhash_pairs": "simhash_complete",
+        "ann_lsh_topk": "ann_recall",
+        "ann_ivf_topk": "ann_ivf_gate",
+    }
+    no_oracle = [n for n, (_f, sql) in reg.items() if sql is None]
+    assert sorted(no_oracle) == sorted(gates), (
+        "every no_oracle query needs a gate mapping here"
+    )
+    for q, gate in gates.items():
+        assert q in head, q
+        assert gate in head and reg[gate][1] is not None, gate
