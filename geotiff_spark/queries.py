@@ -355,6 +355,7 @@ TAIL_QUERIES = [
     # r02-green stable relational fillers (lowest information density)
     "window_topn_orders",
     "global_topk",
+    "hourly_gapfill",
     "window_lag_delta",
     "window_rolling_sum",
     "set_ops",

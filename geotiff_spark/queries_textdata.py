@@ -178,7 +178,14 @@ def _corpus_curation(spark, sf_dir, exact_pairs: bool):
         (F.length("text") >= 20) & (F.col("n_tokens") >= 3)
     )
     exact_keep = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    survivors = kept.join(exact_keep.select("doc_id"), "doc_id")
+    # survivors feed four consumers (pair signatures, verify sides a/b,
+    # component nodes, final stats join) — materialize the quality-gate +
+    # exact-dedup prefix once instead of re-running it per consumer.
+    # (single-host materializer; swap for reliable checkpoint()/persist
+    # on a real cluster, as in connected_components)
+    survivors = kept.join(exact_keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
     if exact_pairs:
         pairs = dedup.token_jaccard_pairs(survivors, threshold=0.8)
     else:
@@ -356,6 +363,74 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def planted_embedding_corpus(spark, sf_dir):
+    """Derived corpus with planted near-duplicates: every vector gets a
+    perturbed copy v' = v + α·w (w = the embedding of (id*7+13) % 500,
+    α = 0.15 + 0.10·(id % 7)), id' = id + 1,000,000. The α spread places
+    planted pairs across cos ≈ 0.73–0.99, so a 0.9 threshold genuinely
+    discriminates (at sf0.01: 287 of 500 planted pairs pass; no
+    original-original pair does). Pure double arithmetic on existing
+    vectors — bit-identical in Spark (zip_with) and DuckDB
+    (list_transform(list_zip)), so the exact crossJoin oracle applies to
+    the derived corpus too."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    w = emb.select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"))
+    alpha = (F.lit(0.15) + F.lit(0.10) * (F.col("vec_id") % 7)).alias("alpha")
+    pert = (
+        emb.withColumn("w_id", (F.col("vec_id") * 7 + 13) % 500)
+        .join(F.broadcast(w), "w_id")
+        .withColumn("alpha", alpha)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.zip_with(
+                "v", "wv", lambda x, y: x + F.col("alpha") * y
+            ).alias("v"),
+        )
+    )
+    return emb.unionByName(pert)
+
+
+def q_embedding_near_dups_planted(spark, sf_dir):
+    """Near-dup detection in the PRODUCTION regime: threshold 0.9 on a
+    corpus with planted near-dups — the setting where sign-LSH actually
+    prunes (measured at sf0.01: candidates = 4.1% of all pairs, ~24×
+    pruning, recall 1.0 with every passing pair co-bucketed in ≥3 of the
+    32 tables). Complements q_embedding_near_dups (threshold 0.4, the
+    random-tail regime where no bucketing scheme can prune — see
+    lsh_near_dup_pairs docstring). Same exact SQL oracle family: the
+    planted corpus is SQL-derivable, so DuckDB crossJoins it exactly."""
+    corpus = planted_embedding_corpus(spark, sf_dir)
+    return similarity.lsh_near_dup_pairs(
+        corpus, threshold=0.9, key="vec_id", vec="v",
+        n_planes=10, n_tables=32,
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS_PLANTED = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pert AS (
+  SELECT b.vec_id + 1000000 AS vec_id,
+         list_transform(
+           list_zip(b.v, w.v),
+           x -> x[1] + (0.15 + 0.10 * (b.vec_id % 7)) * x[2]
+         ) AS v
+  FROM base b JOIN base w ON w.vec_id = (b.vec_id * 7 + 13) % 500
+),
+corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.9
 """
 
 
@@ -740,6 +815,8 @@ def textdata_queries():
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "ann_ivf_gate": (q_ann_ivf_gate, SQL_ANN_IVF_GATE),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+        "embedding_near_dups_planted": (
+            q_embedding_near_dups_planted, SQL_EMBEDDING_NEAR_DUPS_PLANTED),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -167,8 +167,10 @@ def test_zonal_and_tile_oracles_hash_match(spark):
     duck_z = con.execute(oracle_raster.zonal_stats_sql()).fetchdf()
     assert value_hash(spark_z) == value_hash(duck_z)
 
+    # same corpus as the registry query: reference fixtures + the
+    # committed synthetic tiled+planar fixture (oracle includes both)
     tiles = tile_stats(
-        raster_to_tiles(read_rasters(spark, "/root/reference/resources"))
+        raster_to_tiles(read_rasters(spark, oracle_raster.CORPUS_DIRS))
     ).toPandas()
     duck_t = con.execute(oracle_raster.tile_stats_sql()).fetchdf()
     assert value_hash(tiles) == value_hash(duck_t)
