@@ -265,12 +265,10 @@ def multimodal_queries() -> Registry:
 # availableNow — batch-equivalent output, so plain SQL oracles apply)
 # --------------------------------------------------------------------------
 
-def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event counts computed by an actual streaming query
-    (file-source micro-batches → windowed agg → memory sink, complete
-    mode). Late-data/watermark semantics are pytest-pinned separately
-    (tests/test_streaming.py); this puts the streaming surface under the
-    driver's hash-match gate via the batch-equivalent oracle."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (the file stream source
+    needs a DIRECTORY; the testdata table is a single parquet file —
+    stage a symlink dir keyed by sf_dir)."""
     import hashlib
     import os
 
@@ -278,19 +276,49 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    # the file stream source needs a DIRECTORY; the testdata table is a
-    # single parquet file — stage a symlink dir keyed by sf_dir
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     d = "/tmp/geotiff_spark_stream/" + hashlib.md5(src.encode()).hexdigest()[:12]
     os.makedirs(d, exist_ok=True)
     link = f"{d}/events.parquet"
     if not os.path.exists(link):
         os.symlink(src, link)
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+
+
+def _drain_stream(spark: SparkSession, agg: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink and return the result table. Streaming aggs materialize
+    one state store PER shuffle partition, each with its own checkpoint
+    I/O — at driver-gate state sizes 4 stores beat 32 by ~5× wall; a
+    real deployment sizes this to state volume, not the batch default."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts computed by an actual streaming query
+    (file-source micro-batches → windowed agg → memory sink, complete
+    mode). Late-data/watermark semantics are pytest-pinned separately
+    (tests/test_streaming.py); this puts the streaming surface under the
+    driver's hash-match gate via the batch-equivalent oracle."""
+    stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -299,20 +327,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each with its own checkpoint I/O — at this state size (thousands of
     # windows) 4 stores beat 32 by ~5× wall; a real deployment sizes this
     # to state volume, not to the batch-join default
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).select(
+    return _drain_stream(spark, agg, name).select(
         F.col("w.start").alias("window_start"),
         F.col("event_type"),
         F.col("n_events"),
@@ -329,9 +344,69 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) computed by an actual
+    streaming query using F.session_window — the merging-window state
+    operator the batch engine has no direct analog for. Batch-equivalent
+    oracle: classic gap-split sessionization in SQL (lag + cumulative
+    boundary sum), since the full stream fits one watermark horizon."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("s"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _drain_stream(spark, agg, "stream_session_counts")
+    return out.select(
+        F.col("user_id"),
+        F.col("s.start").alias("session_start"),
+        F.col("n_events"),
+    )
+
+
+SQL_STREAM_SESSION_COUNTS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) — the
+    bounded-state first-seen filter a crawl ingest needs. The output SET
+    of keys is deterministic (which duplicate row survives is not, so
+    only the key column is emitted); batch oracle: DISTINCT."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    return _drain_stream(
+        spark, deduped, "stream_dedup_users", output_mode="append"
+    )
+
+
+SQL_STREAM_DEDUP_USERS = "SELECT DISTINCT user_id FROM events"
+
+
 def streaming_queries() -> Registry:
     return {
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
+        "stream_session_counts": (
+            q_stream_session_counts, SQL_STREAM_SESSION_COUNTS),
+        "stream_dedup_users": (q_stream_dedup_users, SQL_STREAM_DEDUP_USERS),
     }
 
 
@@ -356,6 +431,8 @@ TAIL_QUERIES = [
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",
+    "sessionize",
+    "asof_latest_event",
     "window_lag_delta",
     "window_rolling_sum",
     "set_ops",
