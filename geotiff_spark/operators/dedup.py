@@ -49,6 +49,25 @@ def tokens_df(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     )
 
 
+def char_ngram_df(
+    df: DataFrame, n: int = 5, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, token) distinct pairs — character n-gram shingles, JVM-side
+    (sequence → substr → array_distinct → explode). The finer-grained
+    sibling of tokens_df for boilerplate-heavy web text, where word-level
+    Jaccard under-weights small in-word edits."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(text) - F.lit(n - 1), F.lit(1)),
+            ),
+            lambda i: F.col(text).substr(i, F.lit(n)),
+        )
+    )
+    return df.select(F.col(key), F.explode(grams).alias("token"))
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -59,7 +78,32 @@ def token_jaccard_pairs(
 
     inter via token self-join, union = |A|+|B|−inter. All built-ins.
     """
-    toks = tokens_df(df, text, key).cache()
+    return jaccard_pairs_from_tokens(tokens_df(df, text, key), threshold, key)
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard pairs ≥ threshold — the n-gram
+    Jaccard dedup baseline. Same inverted-index shape (and the same
+    quadratic-worst-case caveat) as token_jaccard_pairs: this is the
+    exact small-scale oracle; the 100 TB path is MinHash-LSH over the
+    same shingle stream."""
+    return jaccard_pairs_from_tokens(
+        char_ngram_df(df, n, text, key), threshold, key
+    )
+
+
+def jaccard_pairs_from_tokens(
+    toks: DataFrame, threshold: float, key: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold over any (key, token) distinct-pair
+    table: inter via token self-join, union = |A|+|B|−inter."""
+    toks = toks.cache()
     sizes = toks.groupBy(key).agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.withColumnRenamed(key, "id_a")
     b = toks.withColumnRenamed(key, "id_b")

@@ -11,6 +11,14 @@ assignment" (cell encode): this is the raster side of the tiling engine.
   predicates (query "tiles with elevation > t" without touching pixels)
 - vectorize_threshold: raster→vector — cells whose sampled pixel passes a
   predicate, i.e. the coverage of a value mask in cell space
+- focal_stats: 3×3 focal (neighborhood) map algebra via HALO EXCHANGE —
+  each tile ships only its 1-pixel border strips to the 8 neighbor tiles,
+  so the shuffle moves O(perimeter) bytes per tile, not O(area); the
+  focal kernel then runs tile-locally on the assembled padded block.
+  This is the scale architecture for any stencil op (focal mean/slope/
+  hillshade/convolution) on a 100 TB raster table: one shuffle whose
+  volume is ~4/tile_size of the data (≈1.6% at 256), never a pixel-level
+  self-join.
 """
 
 from __future__ import annotations
@@ -127,6 +135,140 @@ def tile_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return tiles.mapInPandas(run, schema=schema)
+
+
+FOCAL_STATS_SCHEMA = StructType([
+    StructField("raster_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("f_sum", LongType()),
+    StructField("f_cnt", LongType()),
+    StructField("f_min", LongType()),
+    StructField("f_max", LongType()),
+])
+
+_HALO_SCHEMA = StructType([
+    StructField("raster_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    # relative position of the SOURCE tile w.r.t. the target tile
+    # (0, 0) = the target tile's own pixels
+    StructField("rx", IntegerType()),
+    StructField("ry", IntegerType()),
+    StructField("frag_w", IntegerType()),
+    StructField("frag_h", IntegerType()),
+    StructField("dtype", StringType()),
+    StructField("data", BinaryType()),
+])
+
+
+def focal_stats(tiles: DataFrame) -> DataFrame:
+    """3×3 focal-SUM stats per tile, computed with halo exchange.
+
+    Per pixel, the focal sum/count aggregate the up-to-9 in-bounds
+    neighbors of band 0 (raster borders average fewer — count < 9 there,
+    exactly like the pixel-table SQL oracle's join semantics). Output per
+    tile: SUM/MIN/MAX of the per-pixel focal sums plus the total neighbor
+    count — all int64-exact for integer-dtype rasters, so the driver gate
+    hash-matches an exact DuckDB oracle (oracle_raster.focal_stats_sql).
+
+    Plan shape (the part that matters at 100 TB):
+      tiles --mapInPandas--> center row + ≤8 border fragments (1 px wide)
+            --groupBy(raster, tx, ty) applyInPandas--> padded block
+            --numpy stencil--> per-tile stats.
+    One shuffle, whose payload is the tile data plus ~4·tile_size·px_size
+    of halo per tile (≈1.6% overhead at 256) — versus the naive pixel
+    self-join, which shuffles 9× the full pixel table. Tiles of one
+    raster spread across executors freely; no raster-level hotspot.
+    """
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geotiff_spark.functions.tiff import NUMPY_BY_NAME
+
+        cols = [f.name for f in _HALO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, t in pdf.iterrows():
+                dt = NUMPY_BY_NAME[t["dtype"]]
+                th, tw = int(t["tile_h"]), int(t["tile_w"])
+                arr = np.frombuffer(bytes(t["data"]), dtype=dt).reshape(
+                    th, tw, int(t["num_samples"])
+                )[:, :, 0]
+                tx, ty = int(t["tile_x"]), int(t["tile_y"])
+                rows.append({
+                    "raster_id": t["raster_id"], "tile_x": tx, "tile_y": ty,
+                    "rx": 0, "ry": 0, "frag_w": tw, "frag_h": th,
+                    "dtype": t["dtype"],
+                    "data": np.ascontiguousarray(arr).tobytes(),
+                })
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        ntx, nty = tx + dx, ty + dy
+                        if ntx < 0 or nty < 0:
+                            continue
+                        # strip of THIS tile adjacent to that neighbor
+                        # (neighbor to the right ⇒ our LAST column, etc.);
+                        # in the neighbor's frame we sit at (-dx, -dy)
+                        xs = {1: slice(tw - 1, tw), -1: slice(0, 1),
+                              0: slice(0, tw)}[dx]
+                        ys = {1: slice(th - 1, th), -1: slice(0, 1),
+                              0: slice(0, th)}[dy]
+                        frag = np.ascontiguousarray(arr[ys, xs])
+                        rows.append({
+                            "raster_id": t["raster_id"],
+                            "tile_x": ntx, "tile_y": nty,
+                            "rx": -dx, "ry": -dy,
+                            "frag_w": frag.shape[1], "frag_h": frag.shape[0],
+                            "dtype": t["dtype"],
+                            "data": frag.tobytes(),
+                        })
+            yield pd.DataFrame(rows, columns=cols)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from geotiff_spark.functions.tiff import NUMPY_BY_NAME
+
+        rid, tx, ty = key
+        center = pdf[(pdf["rx"] == 0) & (pdf["ry"] == 0)]
+        if center.empty:  # halo addressed past the raster edge
+            return pd.DataFrame(
+                columns=[f.name for f in FOCAL_STATS_SCHEMA.fields]
+            )
+        c = center.iloc[0]
+        dt = NUMPY_BY_NAME[c["dtype"]]
+        th, tw = int(c["frag_h"]), int(c["frag_w"])
+        padded = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        mask = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        for _, f in pdf.iterrows():
+            frag = np.frombuffer(bytes(f["data"]), dtype=dt).reshape(
+                int(f["frag_h"]), int(f["frag_w"])
+            )
+            # edge-clipped neighbor tiles can be wider/taller than the
+            # center's border row — clip the fragment to the padded frame
+            fh = min(int(f["frag_h"]), th if f["ry"] == 0 else 1)
+            fw = min(int(f["frag_w"]), tw if f["rx"] == 0 else 1)
+            y0 = {0: 1, -1: 0, 1: th + 1}[int(f["ry"])]
+            x0 = {0: 1, -1: 0, 1: tw + 1}[int(f["rx"])]
+            padded[y0 : y0 + fh, x0 : x0 + fw] = frag[:fh, :fw].astype(np.int64)
+            mask[y0 : y0 + fh, x0 : x0 + fw] = 1
+        fsum = np.zeros((th, tw), dtype=np.int64)
+        fcnt = np.zeros((th, tw), dtype=np.int64)
+        for u in range(3):
+            for v in range(3):
+                fsum += padded[u : u + th, v : v + tw]
+                fcnt += mask[u : u + th, v : v + tw]
+        return pd.DataFrame([{
+            "raster_id": rid, "tile_x": int(tx), "tile_y": int(ty),
+            "f_sum": int(fsum.sum()), "f_cnt": int(fcnt.sum()),
+            "f_min": int(fsum.min()), "f_max": int(fsum.max()),
+        }])
+
+    frags = tiles.mapInPandas(emit, schema=_HALO_SCHEMA)
+    return (
+        frags.groupBy("raster_id", "tile_x", "tile_y")
+        .applyInPandas(assemble, schema=FOCAL_STATS_SCHEMA)
+    )
 
 
 def build_pyramid(

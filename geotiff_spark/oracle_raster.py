@@ -367,6 +367,48 @@ GROUP BY raster_id, tile_x, tile_y
 """
 
 
+def focal_stats_sql(tile_size: int = 256) -> str:
+    """Oracle for the halo-exchange focal op: the semantics re-expressed
+    as the naive 9-offset pixel self-join (fine at fixture scale, the
+    exact shape the distributed engine must NOT use at 100 TB) — per
+    pixel, SUM/COUNT over in-bounds 3×3 neighbors of band 0, then per-tile
+    SUM/MIN/MAX. All values integral (see module docstring), so every
+    aggregate is exact in int64."""
+    _, all_path = pixel_tables()
+    # scatter form: each pixel contributes its value to the 9 positions
+    # around it, group by target position, then keep only targets that
+    # are real pixels (a plain two-relation equi-join DuckDB hash-joins;
+    # the gather form's 3-relation key defeats its join planner).
+    return f"""
+WITH offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+contrib AS (
+  SELECT p.raster_id, p.ix + o.dx AS cx, p.iy + o.dy AS cy,
+         SUM(CAST(p.value AS BIGINT)) AS fs,
+         COUNT(*) AS fc
+  FROM read_parquet('{all_path}') p
+  JOIN offs o ON TRUE
+  GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT c.raster_id, c.cx AS ix, c.cy AS iy, c.fs, c.fc
+  FROM contrib c
+  JOIN read_parquet('{all_path}') q
+    ON q.raster_id = c.raster_id AND q.ix = c.cx AND q.iy = c.cy
+)
+SELECT raster_id,
+       CAST(ix // {tile_size} AS INTEGER) AS tile_x,
+       CAST(iy // {tile_size} AS INTEGER) AS tile_y,
+       CAST(SUM(fs) AS BIGINT) AS f_sum,
+       CAST(SUM(fc) AS BIGINT) AS f_cnt,
+       CAST(MIN(fs) AS BIGINT) AS f_min,
+       CAST(MAX(fs) AS BIGINT) AS f_max
+FROM f
+GROUP BY 1, 2, 3
+"""
+
+
 def vectorize_sql(res: int = 7, threshold: float = 200.0) -> str:
     """Oracle for raster→vector on the identity-transform marbles fixture:
     pixel centers ARE model coords, so cell assignment is the plain

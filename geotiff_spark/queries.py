@@ -112,6 +112,61 @@ def q_tiepoints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "value")
 
 
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal mixed-resolution cover of the res-7 cells the corpus
+    touches (H3-compact analog on the quadtree index): every complete
+    4-sibling group collapses into its parent, recursively. The
+    broadcastable form of a coverage set — see operators/compact.py for
+    the log-depth scale shape. Exact oracle: the same bottom-up recursion
+    as chained CTEs (compact_oracle_sql)."""
+    from geotiff_spark.operators.compact import compact_cells
+
+    docs = pipeline.geo_documents(spark, sf_dir)
+    n = 1 << 7
+    grid = docs.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        ).alias("ix"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        ).alias("iy"),
+    ).distinct()
+    return compact_cells(grid, res=7)
+
+
+def _cell_compact_oracle() -> str:
+    from geotiff_spark.operators.compact import compact_oracle_sql
+
+    ix, iy = oracle.grid_exprs_sql(7, oracle.LAT_SQL, oracle.LON_SQL)
+    return compact_oracle_sql(
+        7, f"SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM documents"
+    )
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal map algebra (focal sum/count of band 0) over the tiled
+    raster corpus, computed with HALO EXCHANGE — each tile ships 1-pixel
+    border strips to its 8 neighbors, one O(perimeter) shuffle, stencil
+    runs tile-locally (operators/tiling.py:focal_stats). Exact int64
+    oracle: the naive 9-offset pixel self-join in DuckDB
+    (oracle_raster.focal_stats_sql) — the shape the engine must NOT use
+    at scale, which is exactly what makes it a good oracle."""
+    from geotiff_spark.operators.tiling import focal_stats, raster_to_tiles
+    from geotiff_spark.oracle_raster import CORPUS_DIRS
+    from geotiff_spark.sources.rasters import read_rasters
+
+    rasters = read_rasters(spark, CORPUS_DIRS)
+    return focal_stats(raster_to_tiles(rasters, tile_size=256))
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join — must equal the plain join exactly."""
     from geotiff_spark.plans.salting import salted_join
@@ -144,6 +199,7 @@ def spatial_queries() -> Registry:
         "zonal_stats": (q_zonal_stats, oracle_raster.zonal_stats_sql()),
         "tiepoints_sample": (q_tiepoints_sample, oracle_raster.tiepoints_sample_sql()),
         "knn_join": (q_knn_join, KNN_ORACLE),
+        "cell_compact": (q_cell_compact, _cell_compact_oracle()),
         "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
     }
 
@@ -255,6 +311,7 @@ def multimodal_queries() -> Registry:
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_stats_sql(levels=2)),
+        "focal_stats": (q_focal_stats, oracle_raster.focal_stats_sql()),
         "vectorize": (q_vectorize, oracle_raster.vectorize_sql()),
         "median_price": (q_median_price, SQL_MEDIAN_PRICE),
     }
@@ -401,12 +458,41 @@ def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP_USERS = "SELECT DISTINCT user_id FROM events"
 
 
+def q_stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a broadcast
+    customer→nation dimension inside the micro-batch (the static side is
+    planned as a broadcast hash join per batch — no stream-side shuffle),
+    then a streaming aggregation counts events per nation. The standard
+    crawl-ingest enrichment shape; batch-equivalent oracle is the plain
+    two-way join + groupBy."""
+    stream = _events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_events"))
+    return _drain_stream(spark, agg, "stream_join_enrich")
+
+
+SQL_STREAM_JOIN_ENRICH = """
+SELECT n_name, COUNT(*) AS n_events
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def streaming_queries() -> Registry:
     return {
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
         "stream_session_counts": (
             q_stream_session_counts, SQL_STREAM_SESSION_COUNTS),
         "stream_dedup_users": (q_stream_dedup_users, SQL_STREAM_DEDUP_USERS),
+        "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     }
 
 
@@ -428,6 +514,10 @@ DRIVER_WINDOW = 50
 
 TAIL_QUERIES = [
     # r02-green stable relational fillers (lowest information density)
+    "rollup_region_nation",
+    "cube_status_priority",
+    "distinct_customers",
+    "semi_join",
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",

@@ -57,6 +57,41 @@ WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
 """
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-5-gram Jaccard near-dup pairs — the n-gram Jaccard
+    dedup baseline (finer-grained than word tokens for boilerplate-heavy
+    web text). Quadratic-worst-case exact form, so the registry query
+    bounds the corpus to doc_id < 200; the 100 TB path is MinHash-LSH
+    over the same shingle stream (minhash_lsh_pairs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.char_ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([
+           substr(text, CAST(i AS INTEGER), 5)
+           for i in range(1, GREATEST(length(text) - 4, 1) + 1)
+         ])) AS g
+  FROM documents
+  WHERE doc_id < 200
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.n_g + sb.n_g - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_g + sb.n_g - n_inter) >= 0.8
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate-cluster assembly, production wiring: connected
     components (min-label propagation) over the MinHash-LSH candidate
@@ -802,6 +837,7 @@ def textdata_queries():
     return {
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
