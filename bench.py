@@ -89,7 +89,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, res: int = 7):
 
     picks = [
         "cell_assign", "pip_join", "pip_counts", "zonal_stats",
-        "tiepoints_sample",
+        "tiepoints_sample", "focal_stats", "cell_compact",
         "agg_pricing_summary", "multi_join_revenue_by_region",
         "window_topn_orders", "global_topk",
         "exact_dedup", "ann_cosine_topk",

@@ -66,3 +66,32 @@ def test_fused_pages_pip_single_python_stage(spark):
     assert plan.count("MapInPandas") == 2, plan
     # the only exchange is the final tiny per-polygon aggregate
     assert plan.count("Exchange") == 1, plan
+
+
+def test_focal_stats_single_exchange_on_tile_key(spark):
+    """Halo exchange = exactly ONE shuffle, keyed by tile coords — never
+    a pixel-level self-join (PLANS.md §6)."""
+    from geotiff_spark.operators.tiling import focal_stats, raster_to_tiles
+    from geotiff_spark.oracle_raster import CORPUS_DIRS
+    from geotiff_spark.sources.rasters import read_rasters
+
+    df = focal_stats(raster_to_tiles(read_rasters(spark, CORPUS_DIRS)))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(raster_id" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_compact_cells_no_cartesian_and_broadcast_anti_join(spark):
+    """Every per-level anti-join against the complete-parent set is a
+    broadcast join; no cartesian anywhere in the log-depth loop."""
+    import pandas as pd
+
+    from geotiff_spark.operators.compact import compact_cells
+
+    grid = spark.createDataFrame(
+        pd.DataFrame({"ix": [0, 1, 2], "iy": [0, 1, 2]})
+    )
+    plan = _plan(compact_cells(grid, res=4))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
