@@ -518,6 +518,8 @@ TAIL_QUERIES = [
     "cube_status_priority",
     "distinct_customers",
     "semi_join",
+    "anti_join",
+    "broadcast_join_brand_volume",
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",

@@ -164,6 +164,30 @@ FROM orders
 """
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """approx_percentile (KLL/GK-style sketch) range-checked against the
+    exact percentile per status group — the mergeable-sketch quantile a
+    100 TB pipeline uses instead of a global sort. Same gate pattern as
+    approx_distinct: the sketch value is engine-specific, so the
+    oracle-facing columns are the exact percentile plus a
+    within-tolerance flag (±2% of the exact value at accuracy 10000)."""
+    o = _t(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= F.lit(0.02) * exact).alias("within_tol"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+       TRUE AS within_tol
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---- joins -----------------------------------------------------------------
 
 def q_sessionize(spark, sf_dir):
@@ -728,6 +752,7 @@ def relational_queries():
         "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
         "distinct_customers": (q_distinct_customers, SQL_DISTINCT_CUSTOMERS),
         "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+        "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
         "broadcast_join_brand_volume": (
             q_broadcast_join_brand_volume, SQL_BROADCAST_JOIN_BRAND_VOLUME),
         "multi_join_revenue_by_region": (

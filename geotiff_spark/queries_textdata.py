@@ -544,6 +544,70 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-language top-10 terms by corpus TF-IDF — the term-weighting
+    primitive of corpus analysis / quality filtering. Cross-engine float
+    determinism by construction: per-term total TF and global DF are
+    exact integers, so the only float ops are one division, one ln and
+    one multiply (identical libm doubles in Spark and DuckDB); ranking
+    orders by the unrounded score with a term tiebreak. Scale shape: two
+    token-keyed aggregations + a broadcast of the 1-row corpus count;
+    never a per-doc×per-term matrix."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf_sum"))
+    dfreq = (
+        tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw", F.log(F.col("n_docs") / F.col("df_cnt")) * F.col("tf_sum")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("raw"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", F.round("raw", 6).alias("score"), "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT lang, token, COUNT(*) AS tf_sum FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.token, LN(n.n_docs / dfreq.df_cnt) * tf.tf_sum AS raw
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT lang, token, ROUND(raw, 6) AS score, rank FROM (
+  SELECT lang, token, raw,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY raw DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate LSH variant (no oracle; pytest measures recall vs exact)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -855,6 +919,7 @@ def textdata_queries():
             q_embedding_near_dups_planted, SQL_EMBEDDING_NEAR_DUPS_PLANTED),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "language_id": (q_language_id, SQL_LANGUAGE_ID),
         "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
