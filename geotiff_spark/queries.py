@@ -486,6 +486,58 @@ GROUP BY n_name
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream-stream INNER join — click→purchase attribution
+    within 30 minutes per user. Both sides carry watermarks so the join
+    state is bounded (clicks are droppable once purchase_ts can no longer
+    land in their window — the production requirement at 10^12 events);
+    the match set of an inner time-bounded join is deterministic, so the
+    batch self-join SQL is an exact oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("interval 30 minutes")
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+    return _drain_stream(
+        spark, joined, "stream_stream_join", output_mode="append"
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def streaming_queries() -> Registry:
     return {
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
@@ -493,6 +545,7 @@ def streaming_queries() -> Registry:
             q_stream_session_counts, SQL_STREAM_SESSION_COUNTS),
         "stream_dedup_users": (q_stream_dedup_users, SQL_STREAM_DEDUP_USERS),
         "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
+        "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     }
 
 
@@ -520,6 +573,7 @@ TAIL_QUERIES = [
     "semi_join",
     "anti_join",
     "broadcast_join_brand_volume",
+    "range_join",
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",
