@@ -10,10 +10,16 @@ prefilter (/root/reference/src/coordinate_transform/tie_points.rs:173-195)
 
 Scale shape: the input is a DISTINCT cell table (bounded by 4^res, not by
 data volume — ≤2.7e8 rows at res 14 no matter how many documents mapped
-into them). Each of the `res` rounds is one groupBy on the shrinking
-parent key plus one broadcast-size anti-join; data volume drops ≥4× per
-round whenever compaction fires, so the loop is log-depth with
-geometrically decaying shuffles. No driver materialization.
+into them). The naive algorithm is `res` sequential rounds of
+(groupBy parent + anti-join); measured at sf0.1 that costs ~7s of pure
+round latency for a 62-cell result. This implementation instead uses the
+closed form: an ancestor at level l is FORMABLE iff all 4^(res-l) of its
+level-res descendants are present (induction on the recursive collapse),
+and the compacted cover is exactly {formable a : parent(a) not formable}.
+That is TWO shuffles total, independent of res — one groupBy counting
+descendants per (level, ancestor) over the ≤res× ancestor explode of the
+distinct-cell table, one left-anti self-join on the parent key. No
+driver materialization, no sequential rounds.
 """
 
 from __future__ import annotations
@@ -42,40 +48,62 @@ def compact_cells(grid: DataFrame, res: int) -> DataFrame:
     """grid: DISTINCT (ix, iy) int rows at resolution `res` →
     (res, ix, iy, cell) rows of the minimal mixed-resolution cover.
 
-    Bottom-up: at each level, parents owning all 4 children absorb them;
-    everything else is final at its level. Exactly mirrors the chained-CTE
-    SQL oracle (queries.py: COMPACT_ORACLE)."""
-    finals: list[DataFrame] = []
-    cur = grid.select(
-        F.col("ix").cast("long").alias("ix"), F.col("iy").cast("long").alias("iy")
+    Closed form of the bottom-up collapse (see module docstring): an
+    ancestor is formable iff all of its level-res descendants are
+    present; output every formable cell whose parent is not. Matches the
+    chained-CTE recursive SQL oracle (compact_oracle_sql) exactly — the
+    deliberate engine-vs-oracle algorithm asymmetry IS the verification.
+
+    Two shuffles, independent of res: groupBy(level, ancestor) over the
+    ancestor explode, then one left-anti self-join on the parent key
+    (level-0 cells, which have no parent, bypass the join)."""
+    base = grid.select(
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
     )
-    for r in range(res, 0, -1):
-        lv = cur.withColumn(
-            "px", F.shiftright("ix", 1)
-        ).withColumn("py", F.shiftright("iy", 1))
-        full = (
-            lv.groupBy("px", "py")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") == 4)
-            .select("px", "py")
+    # (level, ancestor ix, iy) for every level res..0 — ≤(res+1)× blowup
+    # of the already-tiny distinct-cell table, all row-local
+    anc = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(l).alias("res"),
+                    F.shiftright("ix", res - l).alias("ix"),
+                    F.shiftright("iy", res - l).alias("iy"),
+                )
+                for l in range(res, -1, -1)
+            ])
+        ).alias("a")
+    ).select("a.res", "a.ix", "a.iy")
+    formable = (
+        anc.groupBy("res", "ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n_desc"))
+        # complete ⟺ every level-res descendant present (input rows are
+        # distinct, so counts are exact)
+        .filter(
+            F.col("n_desc")
+            == F.pow(F.lit(4), F.lit(res) - F.col("res")).cast("long")
         )
-        keep = (
-            lv.join(F.broadcast(full), ["px", "py"], "left_anti")
-            .select("ix", "iy")
-            .withColumn("res", F.lit(r))
-            .withColumn("cell", _cell_id_col(r))
-        )
-        finals.append(keep)
-        cur = full.select(
-            F.col("px").alias("ix"), F.col("py").alias("iy")
-        )
-    finals.append(
-        cur.withColumn("res", F.lit(0)).withColumn("cell", _cell_id_col(0))
+        .select("res", "ix", "iy")
     )
-    out = finals[0]
-    for f in finals[1:]:
-        out = out.unionByName(f)
-    return out.select("res", "ix", "iy", "cell")
+    parents = formable.select(
+        (F.col("res") + 1).alias("res"),
+        F.col("ix").alias("pix"),
+        F.col("iy").alias("piy"),
+    )
+    out = formable.join(
+        parents,
+        (formable.res == parents.res)
+        & (F.shiftright(formable.ix, 1) == parents.pix)
+        & (F.shiftright(formable.iy, 1) == parents.piy),
+        "left_anti",
+    )
+    # cell id needs a per-level Morton width; res is bounded (≤26), so
+    # unroll a CASE over the levels — still pure JVM expressions
+    cell = F.lit(None).cast("long")
+    for l in range(res + 1):
+        cell = F.when(F.col("res") == l, _cell_id_col(l)).otherwise(cell)
+    return out.select("res", "ix", "iy", cell.alias("cell"))
 
 
 def compact_oracle_sql(res: int, grid_cte: str) -> str:

@@ -83,8 +83,8 @@ def test_focal_stats_single_exchange_on_tile_key(spark):
 
 
 def test_compact_cells_no_cartesian_and_broadcast_anti_join(spark):
-    """Every per-level anti-join against the complete-parent set is a
-    broadcast join; no cartesian anywhere in the log-depth loop."""
+    """The single parent anti-join of the closed-form compaction is a
+    broadcast join; no cartesian anywhere."""
     import pandas as pd
 
     from geotiff_spark.operators.compact import compact_cells
