@@ -192,30 +192,59 @@ def minhash_signatures(
         if n == 0:
             return pd.Series([], dtype=object)
         lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
-        if (lens == 0).any():
-            # unreachable: empty arrays are filtered out before the UDF
-            raise ValueError("empty shingle set (shingle array must be non-empty)")
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes]
-        ).view(np.uint64)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        out = np.empty((n, num_hashes), dtype=np.uint64)
-        for i in range(num_hashes):
-            v = mult[i] * flat + add[i]      # wraps mod 2^64 by design
-            out[:, i] = np.minimum.reduceat(v, starts)
-        signed = out.view(np.int64)
-        return pd.Series(list(signed))
+        out: list = [None] * n
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sig = np.empty((len(nz), num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                v = mult[i] * flat + add[i]  # wraps mod 2^64 by design
+                sig[:, i] = np.minimum.reduceat(v, starts)
+            signed = sig.view(np.int64)
+            for j, i in enumerate(nz):
+                out[i] = signed[j]
+        return pd.Series(out, dtype=object)
 
-    # docs with an empty shingle set (possible when shingle<=1 and the
+    # Docs with an empty shingle set (possible when shingle<=1 and the
     # text has no tokens) are dropped — same semantics as the old
-    # explode/groupBy formulation, which never produced a row for them
+    # explode/groupBy formulation. The drop happens via a NULL signature
+    # filtered ABOVE the UDF, not via size(shingles)>0 below it: a
+    # pre-UDF filter inlines the whole JVM shingle+hash chain and gets
+    # pushed below the parallelism-restoring exchange, evaluating the
+    # chain twice (once single-task on a 1-row-group scan — measured 10×
+    # the stage cost). Filtering on the UDF output is unpushable, so the
+    # chain is evaluated exactly once, post-exchange, in the Arrow stage.
+    df = _ensure_map_parallelism(df)
     base = F.transform(_shingle_array(text, shingle), lambda s: F.xxhash64(s))
     return (
-        df.select(F.col(key), base.alias("hashes"))
-        .filter(F.size("hashes") > 0)
-        .select(F.col(key), sigs_udf(F.col("hashes")).alias("sigs"))
+        df.select(F.col(key), sigs_udf(base).alias("sigs"))
+        .filter(F.col("sigs").isNotNull())
     )
+
+
+def _ensure_map_parallelism(df: DataFrame) -> DataFrame:
+    """Fix DEGENERATE input partitioning before a CPU-heavy map stage.
+
+    A small/unsplittable source (one parquet row group) plans as a
+    handful of partitions, serializing the Python stage no matter how
+    many cores exist (measured: sf0.1 documents.parquet = 1 row group →
+    the whole signature stage on one core, 4s instead of ~0.3s on 32).
+    Repartition ONLY when the scan yields fewer than half the cluster's
+    default parallelism — at production scale a 100 TB scan has orders of
+    magnitude more splits than cores and this is a no-op with zero
+    shuffle; when it does fire, the shuffled bytes are by construction
+    tiny (the input was under a few row groups). This is the same
+    philosophy as AQE's coalescing, in the opposite direction — AQE
+    cannot ADD parallelism to an unsplittable scan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 1):
+        return df.repartition(target)
+    return df
 
 
 def bucket_candidate_pairs(
@@ -357,34 +386,44 @@ def simhash_signatures(
     def fold(hashes: pd.Series) -> pd.Series:
         n = len(hashes)
         if n == 0:
-            return pd.Series([], dtype=np.int64)
+            return pd.Series([], dtype="Int64")
         lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes]
-        ).view(np.uint64)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        # (total_tokens, 64) bit matrix -> per-doc ones count per bit;
-        # vote > 0  <=>  2*ones > len
-        bits = (
-            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
-        ones = np.add.reduceat(bits, starts, axis=0)
-        sig_bits = (2 * ones) > lens[:, None]
-        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        sigs = (sig_bits.astype(np.uint64) * weights).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pd.Series(sigs.view(np.int64))
+        out = np.zeros(n, dtype=np.int64)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            # (total_tokens, 64) bit matrix -> per-doc ones count per bit;
+            # vote > 0  <=>  2*ones > len
+            bits = (
+                (flat[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)
+            ).astype(np.int64)
+            ones = np.add.reduceat(bits, starts, axis=0)
+            sig_bits = (2 * ones) > lens[nz][:, None]
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            sigs = (sig_bits.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = sigs.view(np.int64)
+        res = pd.array(out, dtype="Int64")
+        res[lens == 0] = pd.NA  # tokenless docs drop via isNotNull above
+        return pd.Series(res)
 
+    # Same plan discipline as minhash_signatures: drop tokenless docs via
+    # a NULL signature filtered ABOVE the UDF (a size(tokens)>0 filter
+    # would inline + duplicate the JVM hash chain below the exchange).
+    df = _ensure_map_parallelism(df)
     toks = F.array_distinct(
         F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
     )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return (
-        df.select(F.col(key), hashes.alias("hashes"))
-        .filter(F.size("hashes") > 0)
-        .select(F.col(key), fold(F.col("hashes")).alias("simhash"))
+        df.select(F.col(key), fold(hashes).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
     )
 
 
