@@ -25,6 +25,20 @@ def token_count(text: Column) -> Column:
     return F.size(_tokens(text))
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookaround-free core so the
+# SAME pattern runs identically under Java regex (Spark) and RE2 (DuckDB):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+# Both engines use leftmost-first alternation, so matches agree exactly.
+BPE_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count — the training-cost estimator a corpus
+    pipeline reports next to the whitespace count (subword tokenizers
+    split punctuation and digit runs that whitespace counting misses)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Number of distinct language-stopwords present (set semantics)."""
     return F.size(

@@ -801,16 +801,23 @@ FROM embeddings WHERE vec_id < 10
 
 
 def q_token_count(spark, sf_dir):
+    """Both token-count variants the pipeline reports: whitespace tokens
+    and the BPE-ish pre-tokenizer count (subword-cost estimator). The
+    regex is lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+    match identically — pinned by the shared-pattern oracle."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
-SQL_TOKEN_COUNT = r"""
+SQL_TOKEN_COUNT = rf"""
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\s+'),
-                       t -> t <> '')) AS n_tokens
+                       t -> t <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '{textstats.BPE_REGEX.replace("'", "''")}')) AS n_bpe_tokens
 FROM documents
 """
 
