@@ -231,3 +231,129 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     )
     want = {(r.window, r.cell): r.n_pages for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_checkpoint_resume(spark, tmp_path):
+    """Kill-and-restart drill for the stream-stream join: clicks ingested
+    BEFORE the restart must still match purchases arriving AFTER it (the
+    join state lives in the checkpoint), and the union of both runs'
+    appended output must equal the batch join exactly."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    # crafted timeline: user u clicks at base+u min, purchases 10 min
+    # later; the split at +45 min strands several click→purchase pairs
+    # across the restart. Watermark delay (1h) > join window (30 min),
+    # so pre-split clicks are still in state when their purchase lands.
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for u in range(30):
+        c = base + pd.Timedelta(minutes=u * 3)
+        rows.append((1000 + u, c, u, "click", 1.0, "{}"))
+        rows.append((2000 + u, c + pd.Timedelta(minutes=10), u,
+                     "purchase", 2.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    )
+    split = base + pd.Timedelta(minutes=45)
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_half(mask, name):
+        # plain parquet FILES — the file-stream source does not recurse
+        # into the directories spark's own .write.parquet produces
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        half = pdf[mask].copy()
+        half["ts"] = half["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(half, preserve_index=False),
+                       str(src / name))
+
+    write_half(pdf.ts < split, "half1.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(name):
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .withWatermark("ts", "1 hour")
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    F.col("ts").alias("click_ts"))
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 hour")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("purchase_ts"))
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        ).select("user_id", "click_id", "purchase_id")
+        # memory sink cannot recover a checkpoint in append mode — the
+        # restart drill needs a real (file) sink, as production would
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.user_id, r.click_id, r.purchase_id)
+                for r in spark.read.parquet(out).collect()}
+
+    out = str(tmp_path / "joined_out")
+    # stream-stream joins keep 4 state stores per shuffle partition;
+    # at this state size 4 partitions run ~5x faster than 32
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got_a = start("ssj_resume_a")
+
+        write_half(pdf.ts >= split, "half2.parquet")
+        got_all = start("ssj_resume_b")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got_b = got_all - got_a
+
+    ev = spark.createDataFrame(pdf)
+    a = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    b = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        ).select("user_id", "click_id", "purchase_id").collect()
+    }
+    assert got_all == want
+    # pairs whose click predates the restart and purchase follows it:
+    # only reachable through checkpointed join state
+    straddling = {
+        (u, c, p) for (u, c, p) in want
+        if pdf.set_index("event_id").ts[c] < split
+        and pdf.set_index("event_id").ts[p] >= split
+    }
+    assert straddling and straddling <= got_b
