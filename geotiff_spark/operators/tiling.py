@@ -151,10 +151,12 @@ _HALO_SCHEMA = StructType([
     StructField("raster_id", StringType()),
     StructField("tile_x", IntegerType()),
     StructField("tile_y", IntegerType()),
-    # relative position of the SOURCE tile w.r.t. the target tile
-    # (0, 0) = the target tile's own pixels
-    StructField("rx", IntegerType()),
-    StructField("ry", IntegerType()),
+    # fragment origin in GLOBAL pixel coordinates — the assembler places
+    # every fragment by subtracting its own frame origin, so edge-clipped
+    # tiles and any radius fall out of the same arithmetic
+    StructField("gx0", LongType()),
+    StructField("gy0", LongType()),
+    StructField("is_center", IntegerType()),
     StructField("frag_w", IntegerType()),
     StructField("frag_h", IntegerType()),
     StructField("dtype", StringType()),
@@ -162,25 +164,35 @@ _HALO_SCHEMA = StructType([
 ])
 
 
-def focal_stats(tiles: DataFrame) -> DataFrame:
-    """3×3 focal-SUM stats per tile, computed with halo exchange.
+def focal_stats(
+    tiles: DataFrame, radius: int = 1, tile_size: int = 256
+) -> DataFrame:
+    """(2r+1)×(2r+1) focal-SUM stats per tile, computed with halo
+    exchange (r = `radius`, default the classic 3×3).
 
-    Per pixel, the focal sum/count aggregate the up-to-9 in-bounds
-    neighbors of band 0 (raster borders average fewer — count < 9 there,
-    exactly like the pixel-table SQL oracle's join semantics). Output per
-    tile: SUM/MIN/MAX of the per-pixel focal sums plus the total neighbor
-    count — all int64-exact for integer-dtype rasters, so the driver gate
-    hash-matches an exact DuckDB oracle (oracle_raster.focal_stats_sql).
+    Per pixel, the focal sum/count aggregate the in-bounds window of
+    band 0 (raster borders average fewer — exactly like the pixel-table
+    SQL oracle's join semantics). Output per tile: SUM/MIN/MAX of the
+    per-pixel focal sums plus the total neighbor count — all int64-exact
+    for integer-dtype rasters, so the driver gate hash-matches an exact
+    DuckDB oracle (oracle_raster.focal_stats_sql).
 
     Plan shape (the part that matters at 100 TB):
-      tiles --mapInPandas--> center row + ≤8 border fragments (1 px wide)
-            --groupBy(raster, tx, ty) applyInPandas--> padded block
+      tiles --mapInPandas--> center row + ≤8 border fragments (r px wide,
+            addressed by GLOBAL pixel coords)
+            --groupBy(raster, tx, ty) applyInPandas--> padded frame
             --numpy stencil--> per-tile stats.
-    One shuffle, whose payload is the tile data plus ~4·tile_size·px_size
-    of halo per tile (≈1.6% overhead at 256) — versus the naive pixel
-    self-join, which shuffles 9× the full pixel table. Tiles of one
-    raster spread across executors freely; no raster-level hotspot.
+    One shuffle, whose payload is the tile data plus ~4·r·tile_size·px
+    of halo per tile (≈1.6% overhead at 256, r=1) — versus the naive
+    pixel self-join, which shuffles (2r+1)² × the full pixel table.
+    Tiles of one raster spread across executors freely; no raster-level
+    hotspot. Requires radius ≤ tile_size so one-hop neighbors cover the
+    window (interior tiles are full-size; only the last row/column tile
+    may be smaller, and its preceding neighbor is full-size).
     """
+    r = int(radius)
+    if not 1 <= r <= tile_size:
+        raise ValueError(f"radius must be in [1, tile_size], got {r}")
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from geotiff_spark.functions.tiff import NUMPY_BY_NAME
@@ -195,10 +207,11 @@ def focal_stats(tiles: DataFrame) -> DataFrame:
                     th, tw, int(t["num_samples"])
                 )[:, :, 0]
                 tx, ty = int(t["tile_x"]), int(t["tile_y"])
+                gx, gy = tx * tile_size, ty * tile_size
                 rows.append({
                     "raster_id": t["raster_id"], "tile_x": tx, "tile_y": ty,
-                    "rx": 0, "ry": 0, "frag_w": tw, "frag_h": th,
-                    "dtype": t["dtype"],
+                    "gx0": gx, "gy0": gy, "is_center": 1,
+                    "frag_w": tw, "frag_h": th, "dtype": t["dtype"],
                     "data": np.ascontiguousarray(arr).tobytes(),
                 })
                 for dy in (-1, 0, 1):
@@ -208,18 +221,23 @@ def focal_stats(tiles: DataFrame) -> DataFrame:
                         ntx, nty = tx + dx, ty + dy
                         if ntx < 0 or nty < 0:
                             continue
-                        # strip of THIS tile adjacent to that neighbor
-                        # (neighbor to the right ⇒ our LAST column, etc.);
-                        # in the neighbor's frame we sit at (-dx, -dy)
-                        xs = {1: slice(tw - 1, tw), -1: slice(0, 1),
-                              0: slice(0, tw)}[dx]
-                        ys = {1: slice(th - 1, th), -1: slice(0, 1),
-                              0: slice(0, th)}[dy]
-                        frag = np.ascontiguousarray(arr[ys, xs])
+                        # overlap of this tile with the neighbor's halo
+                        # frame [ntx·ts − r, (ntx+1)·ts + r) (the upper
+                        # bound is generous for edge tiles; the assembler
+                        # clips to its actual frame)
+                        xs0 = max(gx, ntx * tile_size - r)
+                        xs1 = min(gx + tw, (ntx + 1) * tile_size + r)
+                        ys0 = max(gy, nty * tile_size - r)
+                        ys1 = min(gy + th, (nty + 1) * tile_size + r)
+                        if xs1 <= xs0 or ys1 <= ys0:
+                            continue
+                        frag = np.ascontiguousarray(
+                            arr[ys0 - gy : ys1 - gy, xs0 - gx : xs1 - gx]
+                        )
                         rows.append({
                             "raster_id": t["raster_id"],
                             "tile_x": ntx, "tile_y": nty,
-                            "rx": -dx, "ry": -dy,
+                            "gx0": xs0, "gy0": ys0, "is_center": 0,
                             "frag_w": frag.shape[1], "frag_h": frag.shape[0],
                             "dtype": t["dtype"],
                             "data": frag.tobytes(),
@@ -230,7 +248,7 @@ def focal_stats(tiles: DataFrame) -> DataFrame:
         from geotiff_spark.functions.tiff import NUMPY_BY_NAME
 
         rid, tx, ty = key
-        center = pdf[(pdf["rx"] == 0) & (pdf["ry"] == 0)]
+        center = pdf[pdf["is_center"] == 1]
         if center.empty:  # halo addressed past the raster edge
             return pd.DataFrame(
                 columns=[f.name for f in FOCAL_STATS_SCHEMA.fields]
@@ -238,24 +256,27 @@ def focal_stats(tiles: DataFrame) -> DataFrame:
         c = center.iloc[0]
         dt = NUMPY_BY_NAME[c["dtype"]]
         th, tw = int(c["frag_h"]), int(c["frag_w"])
-        padded = np.zeros((th + 2, tw + 2), dtype=np.int64)
-        mask = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        ox, oy = int(tx) * tile_size - r, int(ty) * tile_size - r
+        frame_h, frame_w = th + 2 * r, tw + 2 * r
+        padded = np.zeros((frame_h, frame_w), dtype=np.int64)
+        mask = np.zeros((frame_h, frame_w), dtype=np.int64)
         for _, f in pdf.iterrows():
             frag = np.frombuffer(bytes(f["data"]), dtype=dt).reshape(
                 int(f["frag_h"]), int(f["frag_w"])
             )
-            # edge-clipped neighbor tiles can be wider/taller than the
-            # center's border row — clip the fragment to the padded frame
-            fh = min(int(f["frag_h"]), th if f["ry"] == 0 else 1)
-            fw = min(int(f["frag_w"]), tw if f["rx"] == 0 else 1)
-            y0 = {0: 1, -1: 0, 1: th + 1}[int(f["ry"])]
-            x0 = {0: 1, -1: 0, 1: tw + 1}[int(f["rx"])]
-            padded[y0 : y0 + fh, x0 : x0 + fw] = frag[:fh, :fw].astype(np.int64)
+            x0, y0 = int(f["gx0"]) - ox, int(f["gy0"]) - oy
+            fh = min(int(f["frag_h"]), frame_h - y0)
+            fw = min(int(f["frag_w"]), frame_w - x0)
+            if fh <= 0 or fw <= 0:
+                continue
+            padded[y0 : y0 + fh, x0 : x0 + fw] = frag[:fh, :fw].astype(
+                np.int64
+            )
             mask[y0 : y0 + fh, x0 : x0 + fw] = 1
         fsum = np.zeros((th, tw), dtype=np.int64)
         fcnt = np.zeros((th, tw), dtype=np.int64)
-        for u in range(3):
-            for v in range(3):
+        for u in range(2 * r + 1):
+            for v in range(2 * r + 1):
                 fsum += padded[u : u + th, v : v + tw]
                 fcnt += mask[u : u + th, v : v + tw]
         return pd.DataFrame([{

@@ -367,21 +367,26 @@ GROUP BY raster_id, tile_x, tile_y
 """
 
 
-def focal_stats_sql(tile_size: int = 256) -> str:
+def focal_stats_sql(tile_size: int = 256, radius: int = 1) -> str:
     """Oracle for the halo-exchange focal op: the semantics re-expressed
-    as the naive 9-offset pixel self-join (fine at fixture scale, the
-    exact shape the distributed engine must NOT use at 100 TB) — per
-    pixel, SUM/COUNT over in-bounds 3×3 neighbors of band 0, then per-tile
+    as the naive (2r+1)²-offset pixel self-join (fine at fixture scale,
+    the exact shape the distributed engine must NOT use at 100 TB) — per
+    pixel, SUM/COUNT over the in-bounds window of band 0, then per-tile
     SUM/MIN/MAX. All values integral (see module docstring), so every
     aggregate is exact in int64."""
     _, all_path = pixel_tables()
-    # scatter form: each pixel contributes its value to the 9 positions
-    # around it, group by target position, then keep only targets that
-    # are real pixels (a plain two-relation equi-join DuckDB hash-joins;
-    # the gather form's 3-relation key defeats its join planner).
+    offs = ",".join(
+        f"({dx},{dy})"
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    )
+    # scatter form: each pixel contributes its value to the (2r+1)²
+    # positions around it, group by target position, then keep only
+    # targets that are real pixels (a plain two-relation equi-join DuckDB
+    # hash-joins; the gather form's 3-relation key defeats its planner).
     return f"""
 WITH offs(dx, dy) AS (
-  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+  VALUES {offs}
 ),
 contrib AS (
   SELECT p.raster_id, p.ix + o.dx AS cx, p.iy + o.dy AS cy,

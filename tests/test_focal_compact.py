@@ -25,15 +25,15 @@ def _raster_df(spark, arr: np.ndarray, rid: str = "r0"):
     return spark.createDataFrame(pdf)
 
 
-def _brute_focal(arr: np.ndarray, tile_size: int) -> pd.DataFrame:
-    """Reference: per-pixel 3x3 in-bounds sum/count, grouped to tiles."""
+def _brute_focal(arr: np.ndarray, tile_size: int, r: int = 1) -> pd.DataFrame:
+    """Reference: per-pixel (2r+1)² in-bounds sum/count, grouped to tiles."""
     h, w = arr.shape
     a = arr.astype(np.int64)
     rows = {}
     for y in range(h):
         for x in range(w):
-            ys, ye = max(0, y - 1), min(h, y + 2)
-            xs, xe = max(0, x - 1), min(w, x + 2)
+            ys, ye = max(0, y - r), min(h, y + r + 1)
+            xs, xe = max(0, x - r), min(w, x + r + 1)
             fs = int(a[ys:ye, xs:xe].sum())
             fc = (ye - ys) * (xe - xs)
             key = (x // tile_size, y // tile_size)
@@ -51,21 +51,27 @@ def _brute_focal(arr: np.ndarray, tile_size: int) -> pd.DataFrame:
     ).sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("h,w,ts", [(7, 9, 4), (8, 8, 4), (5, 5, 8), (9, 13, 3)])
-def test_focal_stats_matches_bruteforce(spark, h, w, ts):
+@pytest.mark.parametrize("h,w,ts,r", [
+    (7, 9, 4, 1), (8, 8, 4, 1), (5, 5, 8, 1), (9, 13, 3, 1),
+    # radius 2, incl. 1-px-wide edge tiles (w % ts == 1) whose window
+    # reaches through the full-size preceding neighbor
+    (9, 13, 4, 2), (9, 9, 4, 2), (7, 9, 8, 3),
+])
+def test_focal_stats_matches_bruteforce(spark, h, w, ts, r):
     """Halo exchange across many small tiles (incl. edge-clipped ones and
-    a single-tile raster) must equal the naive per-pixel stencil."""
-    rng = np.random.RandomState(h * 100 + w)
+    a single-tile raster) must equal the naive per-pixel stencil, for
+    3×3 and wider windows."""
+    rng = np.random.RandomState(h * 100 + w + r)
     arr = rng.randint(0, 255, size=(h, w)).astype(np.uint8)
     tiles = raster_to_tiles(_raster_df(spark, arr), tile_size=ts)
     got = (
-        focal_stats(tiles)
+        focal_stats(tiles, radius=r, tile_size=ts)
         .toPandas()
         .sort_values(["tile_x", "tile_y"])
         .reset_index(drop=True)[["tile_x", "tile_y", "f_sum", "f_cnt",
                                  "f_min", "f_max"]]
     )
-    want = _brute_focal(arr, ts)
+    want = _brute_focal(arr, ts, r)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False
     )
