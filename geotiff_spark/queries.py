@@ -538,6 +538,51 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under the driver gate:
+    per-user running event counts via applyInPandasWithState — the
+    arbitrary-state accumulator built-in windowed aggs can't express.
+    The per-batch emission schedule depends on micro-batch boundaries,
+    so the gated output is the FINAL running total per user (max over
+    emissions), which must equal the batch COUNT(*); state crossing
+    micro-batches is pytest-pinned separately
+    (tests/test_streaming.py::test_running_cell_counts_stateful)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+
+    def update(key, pdfs, state):
+        n = 0
+        for p in pdfs:
+            n += len(p)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_total": [total]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, running_total long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain_stream(
+        spark, out, "stream_custom_state", output_mode="append"
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("running_total").alias("n_events")
+    )
+
+
+SQL_STREAM_CUSTOM_STATE = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
 def streaming_queries() -> Registry:
     return {
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
@@ -546,6 +591,7 @@ def streaming_queries() -> Registry:
         "stream_dedup_users": (q_stream_dedup_users, SQL_STREAM_DEDUP_USERS),
         "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
         "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+        "stream_custom_state": (q_stream_custom_state, SQL_STREAM_CUSTOM_STATE),
     }
 
 
@@ -574,6 +620,7 @@ TAIL_QUERIES = [
     "anti_join",
     "broadcast_join_brand_volume",
     "range_join",
+    "multi_join_revenue_by_region",
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",
