@@ -137,9 +137,10 @@ def _laea_xy_sql(lat_expr: str = "lat", lon_expr: str = "lon") -> str:
 """
 
 
-def zonal_stats_sql() -> str:
-    """Flagship oracle: PIP hits → LAEA x/y → inverse tiepoint+scale →
-    floor/bounds → pixel gather → per-polygon stats."""
+def _flagship_sampled_cte() -> str:
+    """Shared CTE chain ending in `sampled(poly_id, value)` — PIP hits →
+    LAEA x/y → inverse tiepoint+scale → floor/bounds → pixel gather.
+    Prefix for zonal_stats_sql and zonal_mode_sql."""
     from geotiff_spark import oracle
     from geotiff_spark.operators.sample import load_raster_records
 
@@ -176,7 +177,13 @@ sampled AS (
   FROM idx i
   LEFT JOIN read_parquet('{austrian_path}') px
     ON px.ix = i.ix AND px.iy = i.iy
-)
+)"""
+
+
+def zonal_stats_sql() -> str:
+    """Flagship oracle: per-polygon count/avg/min/max over the shared
+    sampled CTE (_flagship_sampled_cte)."""
+    return f"""{_flagship_sampled_cte()}
 SELECT poly_id,
        COUNT(*) AS n_docs,
        AVG(value) AS avg_value,
@@ -184,6 +191,25 @@ SELECT poly_id,
        MAX(value) AS max_value
 FROM sampled
 GROUP BY poly_id
+"""
+
+
+def zonal_mode_sql() -> str:
+    """Zonal MAJORITY oracle: most frequent sampled value per polygon,
+    deterministic tiebreak (smallest value wins), NULL-sampled points
+    excluded; polygons with no covered points drop out."""
+    return f"""{_flagship_sampled_cte()},
+counts AS (
+  SELECT poly_id, value, COUNT(*) AS n
+  FROM sampled WHERE value IS NOT NULL
+  GROUP BY poly_id, value
+)
+SELECT poly_id, value AS mode_value, n AS n_mode FROM (
+  SELECT poly_id, value, n,
+         ROW_NUMBER() OVER (PARTITION BY poly_id
+                            ORDER BY n DESC, value ASC) AS rk
+  FROM counts
+) WHERE rk = 1
 """
 
 

@@ -73,6 +73,23 @@ def laea_udf():
     return project
 
 
+def flagship_sampled(
+    spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES
+) -> DataFrame:
+    """The flagship pipeline up to the per-document sampled value:
+    geo documents → PIP join → project to EPSG:3035 → sample the
+    austrian coverage raster. Shared by zonal_stats and zonal_mode."""
+    hits = doc_pip_join(spark, sf_dir, res)
+    proj = laea_udf()
+    hits = hits.withColumn("xy", proj(F.col("lon"), F.col("lat")))
+    return smp.with_raster_sample(
+        hits.withColumn("x", F.col("xy.x")).withColumn("y", F.col("xy.y")),
+        spark,
+        [AUSTRIAN_RASTER],
+        AUSTRIAN_RASTER.rsplit("/", 1)[-1],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES) -> DataFrame:
     """End-to-end: geo documents → PIP join → project to EPSG:3035 →
     sample the austrian coverage raster → zonal stats per polygon.
@@ -80,17 +97,8 @@ def flagship(spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES) -> DataFr
     Single shuffle (the final groupBy); the joins are broadcast; every
     kernel is an Arrow-batched pandas UDF.
     """
-    hits = doc_pip_join(spark, sf_dir, res)
-    proj = laea_udf()
-    hits = hits.withColumn("xy", proj(F.col("lon"), F.col("lat")))
-    sampled = smp.with_raster_sample(
-        hits.withColumn("x", F.col("xy.x")).withColumn("y", F.col("xy.y")),
-        spark,
-        [AUSTRIAN_RASTER],
-        AUSTRIAN_RASTER.rsplit("/", 1)[-1],
-    )
     return (
-        smp.zonal_stats(sampled)
+        smp.zonal_stats(flagship_sampled(spark, sf_dir, res))
         .withColumnRenamed("n_points", "n_docs")
         .orderBy("poly_id")
     )

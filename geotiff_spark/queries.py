@@ -56,6 +56,33 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.flagship(spark, sf_dir, res=7)
 
 
+def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY: most frequent sampled raster value per polygon
+    (deterministic smallest-value tiebreak) — the categorical-raster dual
+    of zonal_stats (land-cover class per admin zone). Same shared
+    pipeline up to the sampled value; one groupBy + one per-polygon
+    window. Exact oracle: oracle_raster.zonal_mode_sql; tiebreak
+    semantics pinned by crafted pytest."""
+    from pyspark.sql import Window
+
+    sampled = pipeline.flagship_sampled(spark, sf_dir, res=7)
+    counts = (
+        sampled.filter(F.col("value").isNotNull())
+        .groupBy("poly_id", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("poly_id").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "poly_id",
+            F.col("value").alias("mode_value"),
+            F.col("n").alias("n_mode"),
+        )
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN join via cell ring expansion (k=5, first 10 docs as
     queries, planar-degree metric)."""
@@ -197,6 +224,7 @@ def spatial_queries() -> Registry:
         "pip_join": (q_pip_join, oracle.pip_join_sql()),
         "pip_counts": (q_pip_counts, oracle.pip_counts_sql()),
         "zonal_stats": (q_zonal_stats, oracle_raster.zonal_stats_sql()),
+        "zonal_mode": (q_zonal_mode, oracle_raster.zonal_mode_sql()),
         "tiepoints_sample": (q_tiepoints_sample, oracle_raster.tiepoints_sample_sql()),
         "knn_join": (q_knn_join, KNN_ORACLE),
         "cell_compact": (q_cell_compact, _cell_compact_oracle()),
@@ -621,6 +649,7 @@ TAIL_QUERIES = [
     "broadcast_join_brand_volume",
     "range_join",
     "multi_join_revenue_by_region",
+    "agg_pricing_summary",
     "window_topn_orders",
     "global_topk",
     "hourly_gapfill",

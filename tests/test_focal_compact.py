@@ -175,3 +175,27 @@ def test_char_ngram_short_text(spark):
     )
     got = char_ngram_jaccard_pairs(docs, n=5, threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_zonal_mode_tiebreak(spark):
+    """Mode with deterministic smallest-value tiebreak, NULLs excluded."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sampled = spark.createDataFrame(pd.DataFrame({
+        "poly_id": ["a", "a", "a", "a", "b", "b", "c"],
+        "value": [5.0, 3.0, 5.0, 3.0, None, 7.0, None],
+    }))
+    counts = (
+        sampled.filter(F.col("value").isNotNull())
+        .groupBy("poly_id", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("poly_id").orderBy(F.desc("n"), F.asc("value"))
+    got = {
+        r["poly_id"]: (r["value"], r["n"])
+        for r in counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1).collect()
+    }
+    # a: 3.0 and 5.0 tie at 2 -> smallest value wins; c drops (all NULL)
+    assert got == {"a": (3.0, 2), "b": (7.0, 1)}
