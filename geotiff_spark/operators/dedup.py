@@ -55,17 +55,18 @@ def char_ngram_df(
     """(key, token) distinct pairs — character n-gram shingles, JVM-side
     (sequence → substr → array_distinct → explode). The finer-grained
     sibling of tokens_df for boilerplate-heavy web text, where word-level
-    Jaccard under-weights small in-word edits."""
+    Jaccard under-weights small in-word edits. Docs shorter than n emit
+    no grams (mirroring how tokens_df drops tokenless docs) — a truncated
+    gram would let two unrelated short docs score jaccard 1.0."""
     grams = F.array_distinct(
         F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(text) - F.lit(n - 1), F.lit(1)),
-            ),
+            F.sequence(F.lit(1), F.length(text) - F.lit(n - 1)),
             lambda i: F.col(text).substr(i, F.lit(n)),
         )
     )
-    return df.select(F.col(key), F.explode(grams).alias("token"))
+    return df.filter(F.length(text) >= n).select(
+        F.col(key), F.explode(grams).alias("token")
+    )
 
 
 def token_jaccard_pairs(
@@ -129,13 +130,19 @@ def jaccard_pairs_from_tokens(
 
 def _shingle_array(text: str, n: int):
     """Row-local n-token shingle set as an array<string> Column, JVM-side
-    (split → sequence → slice → concat_ws → array_distinct)."""
+    (split → sequence → slice → concat_ws → array_distinct). Docs with
+    fewer than n tokens yield NULL (no shingles) — a truncated shingle
+    would let unrelated short docs collide at jaccard 1.0, the same
+    accidental semantics ADVICE r3 flagged for char n-grams."""
     toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
     if n <= 1:
         return F.array_distinct(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
     )
     return F.array_distinct(sh)
 
@@ -191,7 +198,11 @@ def minhash_signatures(
         n = len(hashes)
         if n == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        # NULL text → NULL shingle array → None here; treat like empty so
+        # the doc gets a NULL signature and drops via the isNotNull filter
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
         out: list = [None] * n
         nz = np.nonzero(lens > 0)[0]
         if len(nz):
@@ -387,7 +398,10 @@ def simhash_signatures(
         n = len(hashes)
         if n == 0:
             return pd.Series([], dtype="Int64")
-        lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        # NULL text → None hash array: treat like empty (NULL signature)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
         out = np.zeros(n, dtype=np.int64)
         nz = np.nonzero(lens > 0)[0]
         if len(nz):

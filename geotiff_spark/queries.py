@@ -478,9 +478,13 @@ def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id"])
         .select("user_id")
     )
+    # dropDuplicatesWithinWatermark evicts state past the watermark, so a
+    # key recurring >24h later in a LATER micro-batch would be re-emitted;
+    # the contract here is the distinct key SET, so collapse the drained
+    # output — robust to the staging dir growing past one file/batch.
     return _drain_stream(
         spark, deduped, "stream_dedup_users", output_mode="append"
-    )
+    ).distinct()
 
 
 SQL_STREAM_DEDUP_USERS = "SELECT DISTINCT user_id FROM events"

@@ -72,10 +72,10 @@ WITH grams AS (
   SELECT doc_id,
          unnest(list_distinct([
            substr(text, CAST(i AS INTEGER), 5)
-           for i in range(1, GREATEST(length(text) - 4, 1) + 1)
+           for i in range(1, length(text) - 4 + 1)
          ])) AS g
   FROM documents
-  WHERE doc_id < 200
+  WHERE doc_id < 200 AND length(text) >= 5
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
 inter AS (

@@ -136,3 +136,41 @@ def test_synth_fixture_in_corpus(spark):
     iy, ix = np.mgrid[0:300, 0:520]
     assert (arr[:, :, 0] == ((iy * 31 + ix * 17) % 1021)).all()
     assert (arr[:, :, 1] == ((iy * 31 + ix * 17 + 7) % 1021)).all()
+
+
+def test_null_text_docs_drop_from_signatures(spark):
+    """ADVICE r3: NULL text must yield a NULL signature (dropped), not a
+    TypeError inside the Arrow UDF — covers minhash (shingle=1 and 3)
+    and simhash."""
+    from geotiff_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta"),
+         (4, ""), (5, "   ")],
+        "doc_id long, text string",
+    )
+    for shingle in (1, 3):
+        sigs = dedup.minhash_signatures(docs, shingle=shingle).collect()
+        assert sorted(r.doc_id for r in sigs) == [1, 3]
+    sh = dedup.simhash_signatures(docs).collect()
+    assert sorted(r.doc_id for r in sh) == [1, 3]
+    # end-to-end: the LSH pair path survives NULL-text rows
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.8, shingle=1, num_hashes=64, bands=32
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 3)]
+
+
+def test_char_ngram_short_docs_emit_no_grams(spark):
+    """ADVICE r3: docs shorter than n emit NO grams (no truncated/empty
+    gram), so two unrelated short docs can't score jaccard 1.0."""
+    from geotiff_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "xy"), (3, ""), (4, "abcdefgh"), (5, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    grams = dedup.char_ngram_df(docs, n=5).collect()
+    assert {r.doc_id for r in grams} == {4, 5}
+    pairs = dedup.char_ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(4, 5)]
