@@ -72,21 +72,29 @@ def encode_fake_image(media_id: int, w: int, h: int, c: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode to (h, w, c) uint8. Real codecs are unavailable here — a
-    real deployment plugs Pillow/libjpeg in this one function; the fake
-    container keeps every downstream shape/semantic real."""
+    """Decode to (h, w, c) uint8. PNG decodes for real (pure-numpy codec,
+    functions/png.py — round 4); JPEG/WebP would plug Pillow into this one
+    function and remain stubbed in this sandbox. The fake container keeps
+    downstream shapes testable independently of any codec."""
     if payload[:4] == b"FIMG":
         w, h, c = struct.unpack_from("<HHB", payload, 4)
         return (
             np.frombuffer(payload, dtype=np.uint8, offset=9, count=w * h * c)
             .reshape(h, w, c)
         )
+    from geotiff_spark.functions.png import PNG_MAGIC, decode_png
+
+    if payload[:8] == PNG_MAGIC:
+        arr = decode_png(payload)
+        if arr.dtype != np.uint8:
+            arr = (arr >> 8).astype(np.uint8)  # 16-bit → high byte
+        return arr
     try:  # pragma: no cover - not installed in this sandbox
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real image codecs unavailable in this environment; "
-            "payload is not a FAKE-IMG container"
+            "real JPEG/WebP codecs unavailable in this environment; "
+            "payload is neither PNG nor a FAKE-IMG container"
         ) from None
     raise NotImplementedError("real-codec path not wired")
 
@@ -135,6 +143,51 @@ def synth_media(spark: SparkSession, n: int, partitions: int | None = None) -> D
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([synth_media_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_png_row(mid: int) -> dict:
+    """One deterministic REAL-PNG media row: pixels from the same
+    splitmix stream as FAKE-IMG, encoded through the numpy PNG encoder
+    with per-image varying dims, filter schedule and color type (gray /
+    RGB / RGBA / palette) so decode exercises every filter and color
+    path. Shared by the Spark generator and the oracle builder."""
+    from geotiff_spark.functions.png import encode_png
+
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + r % 40, 8 + (r >> 8) % 40
+    c = (1, 3, 4)[mid % 3]
+    arr = _fake_pixels(mid, w * h * c).reshape(h, w, c)
+    if mid % 7 == 0:
+        idx = (arr[:, :, :1] % 32).astype(np.uint8)
+        plte = _fake_pixels(mid + 13, 96).reshape(32, 3)
+        payload = encode_png(idx, filters=mid % 5, palette=plte)
+        c = 3
+    else:
+        payload = encode_png(arr, filters=None if mid % 2 else mid % 5)
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": w, "height": h, "channels": c,
+            "sample_rate": None, "n_frames": None, "format": "PNG",
+        },
+    }
+
+
+def synth_png_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic REAL-PNG image table (ids 0..n-1), generated on
+    executors per Arrow batch — the corpus behind png_image_features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_png_row(mid) for mid in pdf["id"]])
 
     rng = spark.range(0, n, numPartitions=partitions or 8)
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -92,3 +92,43 @@ def audio_features_sql() -> str:
 def video_frame_sample_sql() -> str:
     p = media_feature_tables()["video"]
     return f"SELECT * FROM read_parquet('{p}')"
+
+
+N_PNG = 200  # must match the registry query's synth_png_media(spark, 200)
+
+
+def png_feature_table() -> str:
+    """Expected image_features rows over the REAL-PNG corpus
+    (synth_png_media): the same driver-side single-process trust pattern
+    as media_feature_tables, but the payloads here are genuine PNG bytes
+    decoded by the pure-numpy codec (functions/png.py), whose two
+    directions are pinned against each other by tests/test_png.py."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import decode_image, synth_png_row
+
+    path = f"{ORACLE_DIR}/png_image_features.parquet"
+    marker = f"{ORACLE_DIR}/_PNG_DONE_{N_PNG}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_PNG):
+        arr = decode_image(synth_png_row(mid)["payload"])
+        means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        rows.append((mid, arr.shape[1], arr.shape[0], float(means[0]),
+                     float(means[1]) if len(means) > 1 else None,
+                     float(means[2]) if len(means) > 2 else None,
+                     float(arr.mean(axis=2).std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                       "mean_b", "std_gray"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def png_image_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{png_feature_table()}')"

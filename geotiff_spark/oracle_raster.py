@@ -507,3 +507,95 @@ GROUP BY raster_id, tile_x, tile_y"""
     ]
     union = "\nUNION ALL\n".join(selects)
     return "WITH " + ",\n".join(lvl_sql) + "\n" + union
+
+
+# ---- u64 exact-value sampling (hard part #4: Spark has no unsigned types;
+# DecimalType(20,0) carries the full u64 range, compared as digit strings
+# so no engine's numeric encoding can lossy-convert) --------------------------
+
+U64_RASTER = os.path.join(SYNTH_DIR, "u64", "synth_u64.tif")
+
+# deterministic in/out-of-bounds sample points from doc_id — int ops then
+# one IEEE division, identical doubles in Spark and DuckDB. x in [0, 80)
+# (extent is [0, 64), so ~20% sample out of bounds -> NULL parity);
+# y in (0, 64).
+U64_X_PARAMS = (7919, 8000)    # (doc_id * mult) % mod / 100.0
+U64_Y_PARAMS = (104729, 6399)  # (doc_id * mult) % mod / 100.0 + 0.005
+
+U64_X_SQL = f"((doc_id * {U64_X_PARAMS[0]}) % {U64_X_PARAMS[1]}) / 100.0"
+U64_Y_SQL = (
+    f"((doc_id * {U64_Y_PARAMS[0]}) % {U64_Y_PARAMS[1]}) / 100.0 + 0.005"
+)
+
+
+def u64_point_cols():
+    from pyspark.sql import functions as F
+
+    x = ((F.col("doc_id") * U64_X_PARAMS[0]) % U64_X_PARAMS[1]) / F.lit(100.0)
+    y = (
+        (F.col("doc_id") * U64_Y_PARAMS[0]) % U64_Y_PARAMS[1]
+    ) / F.lit(100.0) + F.lit(0.005)
+    return x, y
+
+
+def u64_pixel_table() -> str:
+    """(ix, iy, val_str) for the u64 fixture — values as digit strings,
+    produced by the trusted decoder WITHOUT any float stage (uint64 →
+    python int → str)."""
+    from geotiff_spark.operators.sample import load_raster_records
+
+    path = f"{ORACLE_DIR}/u64_pixels.parquet"
+    marker = f"{ORACLE_DIR}/_U64_DONE"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rec = load_raster_records([U64_RASTER])["synth_u64.tif"]
+    h, w = rec["height"], rec["width"]
+    flat = np.frombuffer(rec["data"], dtype=np.dtype(rec["dtype"]))
+    iy, ix = np.divmod(np.arange(h * w, dtype=np.int64), w)
+    _write_parquet(
+        path,
+        {
+            "ix": ix,
+            "iy": iy,
+            "val_str": np.array([str(int(v)) for v in flat], dtype=object),
+        },
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def u64_sample_sql() -> str:
+    """Oracle for the exact u64 sampling gate: same inverse
+    tiepoint+scale + floor/bounds as the engine (transform coeffs read
+    from the trusted record), gather from the digit-string pixel table."""
+    from geotiff_spark.operators.sample import load_raster_records
+
+    rec = load_raster_records([U64_RASTER])["synth_u64.tif"]
+    rx0, ry0, mx, my, sx, sy = rec["transform"][1]
+    w, h = rec["width"], rec["height"]
+    path = u64_pixel_table()
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {U64_X_SQL} AS x, {U64_Y_SQL} AS y FROM documents
+),
+idx AS (
+  SELECT doc_id,
+         CASE WHEN rx >= 0.0 AND rx < {w} AND ry >= 0.0 AND ry < {h}
+              THEN CAST(FLOOR(rx) AS BIGINT) END AS ix,
+         CASE WHEN rx >= 0.0 AND rx < {w} AND ry >= 0.0 AND ry < {h}
+              THEN CAST(FLOOR(ry) AS BIGINT) END AS iy
+  FROM (
+    SELECT doc_id,
+           (x - {mx!r}) / {sx!r} + {rx0!r} AS rx,
+           (y - {my!r}) / -({sy!r}) + {ry0!r} AS ry
+    FROM pts
+  )
+)
+SELECT i.doc_id,
+       CASE WHEN px.val_str IS NOT NULL THEN 'uint64' END AS dtype,
+       px.val_str AS u64_value
+FROM idx i
+LEFT JOIN read_parquet('{path}') px ON px.ix = i.ix AND px.iy = i.iy
+"""

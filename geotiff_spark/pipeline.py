@@ -74,11 +74,15 @@ def laea_udf():
 
 
 def flagship_sampled(
-    spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES
+    spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES,
+    sample_mode: str = "auto",
 ) -> DataFrame:
     """The flagship pipeline up to the per-document sampled value:
     geo documents → PIP join → project to EPSG:3035 → sample the
-    austrian coverage raster. Shared by zonal_stats and zonal_mode."""
+    austrian coverage raster. Shared by zonal_stats and zonal_mode.
+    sample_mode passes through to with_raster_sample ('auto' broadcasts
+    here — the corpus is tiny; 'copartition' forces the large-corpus
+    branch, driver-gated by zonal_stats_copart)."""
     hits = doc_pip_join(spark, sf_dir, res)
     proj = laea_udf()
     hits = hits.withColumn("xy", proj(F.col("lon"), F.col("lat")))
@@ -87,6 +91,7 @@ def flagship_sampled(
         spark,
         [AUSTRIAN_RASTER],
         AUSTRIAN_RASTER.rsplit("/", 1)[-1],
+        mode=sample_mode,
     )
 
 

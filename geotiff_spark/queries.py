@@ -83,6 +83,53 @@ def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship zonal stats THROUGH THE LARGE-CORPUS SAMPLING BRANCH:
+    with_raster_sample(mode='copartition') — points cogrouped with the
+    executor-decoded raster rows, no broadcast, pixels never on the
+    driver (operators/sample.py, round 4). Shares zonal_stats' exact
+    oracle, so the driver pins both branches of the size guard to the
+    same semantics."""
+    from geotiff_spark.operators import sample as smp
+
+    sampled = pipeline.flagship_sampled(
+        spark, sf_dir, res=7, sample_mode="copartition"
+    )
+    return (
+        smp.zonal_stats(sampled)
+        .withColumnRenamed("n_points", "n_docs")
+        .orderBy("poly_id")
+    )
+
+
+def q_u64_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact u64 sampling gate (hard part #4): sample a committed uint64
+    raster whose every value exceeds 2^63 and is NOT float64-
+    representable (odd low bits at a 2^11 ulp). sample_exact_udf returns
+    DecimalType(20,0); the gate compares canonical digit STRINGS against
+    the trusted decoder's digit-string pixel table, so a float round
+    trip anywhere in either engine breaks the hash. ~20% of points land
+    out of bounds → NULL parity rides along."""
+    from geotiff_spark.operators.sample import (
+        load_raster_records_distributed, sample_exact_udf,
+    )
+    from geotiff_spark.oracle_raster import U64_RASTER, u64_point_cols
+
+    x, y = u64_point_cols()
+    docs = pipeline.load_table(spark, sf_dir, "documents").select(
+        "doc_id", x.alias("x"), y.alias("y")
+    )
+    records = load_raster_records_distributed(spark, [U64_RASTER])
+    udf = sample_exact_udf(spark, records)
+    return docs.withColumn(
+        "s", udf(F.lit("synth_u64.tif"), F.col("x"), F.col("y"))
+    ).select(
+        "doc_id",
+        F.col("s.dtype").alias("dtype"),
+        F.col("s.int_val").cast("string").alias("u64_value"),
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN join via cell ring expansion (k=5, first 10 docs as
     queries, planar-degree metric)."""
@@ -224,8 +271,11 @@ def spatial_queries() -> Registry:
         "pip_join": (q_pip_join, oracle.pip_join_sql()),
         "pip_counts": (q_pip_counts, oracle.pip_counts_sql()),
         "zonal_stats": (q_zonal_stats, oracle_raster.zonal_stats_sql()),
+        "zonal_stats_copart": (
+            q_zonal_stats_copart, oracle_raster.zonal_stats_sql()),
         "zonal_mode": (q_zonal_mode, oracle_raster.zonal_mode_sql()),
         "tiepoints_sample": (q_tiepoints_sample, oracle_raster.tiepoints_sample_sql()),
+        "u64_exact_sample": (q_u64_exact_sample, oracle_raster.u64_sample_sql()),
         "knn_join": (q_knn_join, KNN_ORACLE),
         "cell_compact": (q_cell_compact, _cell_compact_oracle()),
         "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
@@ -241,6 +291,17 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotiff_spark.operators import multimodal as mm
 
     return mm.image_features(mm.synth_media(spark, 300))
+
+
+def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over REAL PNG bytes: deterministic PNG corpus
+    (every filter type, gray/RGB/RGBA/palette) decoded by the pure-numpy
+    codec (functions/png.py) inside the same mapInPandas kernel — the
+    round-3 'honest stub' made real. Oracle: driver-side single-process
+    decode of the identical corpus (oracle_media.png_feature_table)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_png_media(spark, 200))
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +395,8 @@ def multimodal_queries() -> Registry:
 
     return {
         "image_features": (q_image_features, oracle_media.image_features_sql()),
+        "png_image_features": (
+            q_png_image_features, oracle_media.png_image_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "video_frame_sample": (
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
@@ -644,29 +707,36 @@ def streaming_queries() -> Registry:
 DRIVER_WINDOW = 50
 
 TAIL_QUERIES = [
-    # r02-green stable relational fillers (lowest information density)
-    "rollup_region_nation",
-    "cube_status_priority",
+    # ROTATED OUT round 4 (hash-green in the r03 driver window; stable
+    # code): frees window slots for the r02-tailed entries below and the
+    # round-4 additions. Rotation rule: nothing sits outside the window
+    # for more than two recorded rounds.
+    "salted_join",
+    "exact_dedup",
+    "token_jaccard_pairs",
+    "train_split",
+    "dedup_keeper",
+    "url_domain_stats",
+    "tfidf_top_terms",
+    "token_count",
+    "language_id",
+    "quality_features",
+    "fingerprint",
+    "filter_project",
+    "approx_distinct",
+    "approx_quantiles",
+    # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",
     "anti_join",
     "broadcast_join_brand_volume",
-    "range_join",
     "multi_join_revenue_by_region",
     "agg_pricing_summary",
     "window_topn_orders",
     "global_topk",
-    "hourly_gapfill",
-    "sessionize",
-    "asof_latest_event",
-    "window_lag_delta",
-    "window_rolling_sum",
     "set_ops",
     "scalar_functions",
     "json_extract",
-    "grouping_sets",
-    "pivot_status_by_priority",
-    "window_distribution",
     "top_tokens",
     "haversine_to_vienna",
     "small_quantity_revenue",

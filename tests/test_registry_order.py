@@ -11,6 +11,7 @@ import os
 from geotiff_spark.queries import DRIVER_WINDOW, TAIL_QUERIES, registry
 
 R02 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
+R03 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
 
 
 def test_every_query_has_fn_and_registry_is_well_formed():
@@ -37,15 +38,20 @@ def test_window_contains_everything_not_explicitly_tailed():
 
 def test_tail_entries_are_individually_justified():
     """A query may sit past the driver window only if (a) it was
-    hash-green in the round-2 driver run and its module is unchanged in
-    spirit (stable relational fillers), or (b) it is an `_exact` baseline
-    sharing its oracle string with an in-window primary."""
+    hash-green in one of the last two recorded driver rounds (the
+    rotation rule: nothing waits outside the window for more than two
+    rounds — entries green only in the OLDER round must rotate back in
+    next round), or (b) it is an `_exact` baseline sharing its oracle
+    string with an in-window primary."""
     reg = registry()
     names = list(reg)
     head = set(names[:DRIVER_WINDOW])
     with open(R02) as fh:
         r02 = json.load(fh)
+    with open(R03) as fh:
+        r03 = json.load(fh)
 
+    stale = []
     for q in names[DRIVER_WINDOW:]:
         if q.endswith("_exact"):
             primary = q[: -len("_exact")]
@@ -54,11 +60,19 @@ def test_tail_entries_are_individually_justified():
                 f"{q} must share its oracle with in-window {primary}"
             )
         else:
-            row = r02.get(q)
-            assert row and row.get("hash_match"), (
-                f"{q} is past the driver window but has no green round-2 "
-                "row — move it inside the window"
+            recent = r03.get(q, {}).get("hash_match")
+            older = r02.get(q, {}).get("hash_match")
+            assert recent or older, (
+                f"{q} is past the driver window with no green row in the "
+                "last two driver rounds — move it inside the window"
             )
+            if not recent:
+                stale.append(q)
+    # entries green only in the older round are first in line to rotate
+    # back into the window next round; cap how many can pile up
+    assert len(stale) <= 14, (
+        f"too many tail entries without a recent driver row: {stale}"
+    )
 
 
 def test_oracle_coverage_bookkeeping():
