@@ -89,6 +89,9 @@ def bench_queries(spark, sf_dir: str, pages_path: str, res: int = 7):
 
     picks = [
         "cell_assign", "pip_join", "pip_counts", "zonal_stats",
+        # round 4: the co-partitioned sampling branch, real-PNG decode
+        # feature kernel, and the u64 exact-value gate
+        "zonal_stats_copart", "png_image_features", "u64_exact_sample",
         "tiepoints_sample", "focal_stats", "cell_compact",
         "agg_pricing_summary", "multi_join_revenue_by_region",
         "window_topn_orders", "global_topk",

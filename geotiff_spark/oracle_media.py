@@ -132,3 +132,43 @@ def png_feature_table() -> str:
 
 def png_image_features_sql() -> str:
     return f"SELECT * FROM read_parquet('{png_feature_table()}')"
+
+
+def png_resize_feature_table() -> str:
+    """Expected features after 12x12 nearest-neighbor resize of the PNG
+    corpus — the same index-selection math as multimodal.resize_images,
+    computed single-process over the trusted decode."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import decode_image, synth_png_row
+
+    path = f"{ORACLE_DIR}/png_resize_features.parquet"
+    marker = f"{ORACLE_DIR}/_PNG_RESIZE_DONE_{N_PNG}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    out_w = out_h = 12
+    rows = []
+    for mid in range(N_PNG):
+        arr = decode_image(synth_png_row(mid)["payload"])
+        h, w, _c = arr.shape
+        yi = np.arange(out_h) * h // out_h
+        xi = np.arange(out_w) * w // out_w
+        r = arr[yi][:, xi]
+        means = r.reshape(-1, r.shape[2]).mean(axis=0)
+        rows.append((mid, out_w, out_h, float(means[0]),
+                     float(means[1]) if len(means) > 1 else None,
+                     float(means[2]) if len(means) > 2 else None,
+                     float(r.mean(axis=2).std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                       "mean_b", "std_gray"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def png_resize_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{png_resize_feature_table()}')"

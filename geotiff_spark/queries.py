@@ -304,6 +304,21 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(mm.synth_png_media(spark, 200))
 
 
+def q_png_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize under the driver gate: PNG corpus → decode → 12×12
+    nearest-neighbor resize (re-encoded into the FIMG container) →
+    feature kernel over the RESIZED pixels. Pins the resize math (index
+    selection, container re-encode) end-to-end, not just in pytest.
+    Oracle: the same chain single-process (oracle_media)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    corpus = mm.synth_png_media(spark, 200)
+    resized = mm.resize_images(corpus, 12, 12).withColumn(
+        "kind", F.lit("image")
+    )
+    return mm.image_features(resized)
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotiff_spark.operators import multimodal as mm
 
@@ -397,6 +412,8 @@ def multimodal_queries() -> Registry:
         "image_features": (q_image_features, oracle_media.image_features_sql()),
         "png_image_features": (
             q_png_image_features, oracle_media.png_image_features_sql()),
+        "png_resize_features": (
+            q_png_resize_features, oracle_media.png_resize_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "video_frame_sample": (
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
@@ -725,6 +742,7 @@ TAIL_QUERIES = [
     "filter_project",
     "approx_distinct",
     "approx_quantiles",
+    "median_price",
     # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",

@@ -169,12 +169,15 @@ def test_char_ngram_jaccard_crafted(spark):
 
 
 def test_char_ngram_short_text(spark):
-    """Texts shorter than n fall back to a single whole-string gram."""
+    """Texts shorter than n emit NO grams (ADVICE r3: the old
+    single-truncated-gram fallback let unrelated short docs score
+    jaccard 1.0), so identical short docs produce no pair here —
+    exact-duplicate detection of short docs is exact_dedup's job."""
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["ab", "ab"]})
     )
     got = char_ngram_jaccard_pairs(docs, n=5, threshold=0.9).collect()
-    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+    assert got == []
 
 
 def test_zonal_mode_tiebreak(spark):

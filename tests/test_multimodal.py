@@ -62,8 +62,15 @@ def test_video_frame_sampling(spark):
 
 
 def test_real_codec_path_raises():
-    with pytest.raises(NotImplementedError):
+    # PNG now decodes for real — garbage after the magic is a codec
+    # error, not a stub
+    from geotiff_spark.functions.png import PngError
+
+    with pytest.raises(PngError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+    # JPEG remains honestly stubbed (no Pillow in this sandbox)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 16)
 
 
 def test_audio_features_match_local_decode(spark):
