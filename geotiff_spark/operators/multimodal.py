@@ -166,6 +166,15 @@ def synth_png_row(mid: int) -> dict:
         plte = _fake_pixels(mid + 13, 96).reshape(32, 3)
         payload = encode_png(idx, filters=mid % 5, palette=plte)
         c = 3
+    elif mid % 11 == 3:
+        # 16-bit gray/RGB branch (decode_image keeps the high byte)
+        c16 = 1 if c == 1 else 3
+        lo = _fake_pixels(mid + 29, w * h * c16).reshape(h, w, c16)
+        arr16 = (
+            arr[:, :, :c16].astype(np.uint16) << 8
+        ) | lo.astype(np.uint16)
+        payload = encode_png(arr16, filters=mid % 5)
+        c = c16
     else:
         payload = encode_png(arr, filters=None if mid % 2 else mid % 5)
     return {

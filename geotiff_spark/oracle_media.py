@@ -95,6 +95,7 @@ def video_frame_sample_sql() -> str:
 
 
 N_PNG = 200  # must match the registry query's synth_png_media(spark, 200)
+PNG_V = 2    # bump when synth_png_row's generator changes (marker/table versioning)
 
 
 def png_feature_table() -> str:
@@ -107,8 +108,8 @@ def png_feature_table() -> str:
 
     from geotiff_spark.operators.multimodal import decode_image, synth_png_row
 
-    path = f"{ORACLE_DIR}/png_image_features.parquet"
-    marker = f"{ORACLE_DIR}/_PNG_DONE_{N_PNG}"
+    path = f"{ORACLE_DIR}/png_image_features_v{PNG_V}.parquet"
+    marker = f"{ORACLE_DIR}/_PNG_DONE_{N_PNG}_v{PNG_V}"
     if os.path.exists(marker):
         return path
     os.makedirs(ORACLE_DIR, exist_ok=True)
@@ -142,8 +143,8 @@ def png_resize_feature_table() -> str:
 
     from geotiff_spark.operators.multimodal import decode_image, synth_png_row
 
-    path = f"{ORACLE_DIR}/png_resize_features.parquet"
-    marker = f"{ORACLE_DIR}/_PNG_RESIZE_DONE_{N_PNG}"
+    path = f"{ORACLE_DIR}/png_resize_features_v{PNG_V}.parquet"
+    marker = f"{ORACLE_DIR}/_PNG_RESIZE_DONE_{N_PNG}_v{PNG_V}"
     if os.path.exists(marker):
         return path
     os.makedirs(ORACLE_DIR, exist_ok=True)
