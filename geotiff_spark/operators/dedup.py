@@ -227,12 +227,18 @@ def minhash_signatures(
     # pre-UDF filter inlines the whole JVM shingle+hash chain and gets
     # pushed below the parallelism-restoring exchange, evaluating the
     # chain twice (once single-task on a 1-row-group scan — measured 10×
-    # the stage cost). Filtering on the UDF output is unpushable, so the
-    # chain is evaluated exactly once, post-exchange, in the Arrow stage.
+    # the stage cost, round 3). Round 4: a DETERMINISTIC UDF still gets
+    # double-evaluated here — Catalyst inlines the `sigs` alias into the
+    # filter, and PythonUDF extraction then plans TWO ArrowEvalPython
+    # stages (one for the filter, one for the projection), running the
+    # whole chain twice (~2× the stage wall, plan-verified). Marking the
+    # UDF nondeterministic forbids the alias inlining, so the filter
+    # references the materialized column and the plan holds exactly ONE
+    # ArrowEvalPython (pinned by test_plan_shapes).
     df = _ensure_map_parallelism(df)
     base = F.transform(_shingle_array(text, shingle), lambda s: F.xxhash64(s))
     return (
-        df.select(F.col(key), sigs_udf(base).alias("sigs"))
+        df.select(F.col(key), sigs_udf.asNondeterministic()(base).alias("sigs"))
         .filter(F.col("sigs").isNotNull())
     )
 
@@ -439,14 +445,16 @@ def simhash_signatures(
 
     # Same plan discipline as minhash_signatures: drop tokenless docs via
     # a NULL signature filtered ABOVE the UDF (a size(tokens)>0 filter
-    # would inline + duplicate the JVM hash chain below the exchange).
+    # would inline + duplicate the JVM hash chain below the exchange),
+    # and the UDF marked nondeterministic so the alias can't inline into
+    # the filter and double-plan the Python stage (see minhash_signatures).
     df = _ensure_map_parallelism(df)
     toks = F.array_distinct(
         F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
     )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return (
-        df.select(F.col(key), fold(hashes).alias("simhash"))
+        df.select(F.col(key), fold.asNondeterministic()(hashes).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
     )
 

@@ -98,9 +98,20 @@ def cell_udf(res: int):
         out = np.full(la.shape, -1, dtype=np.int64)
         if ok.any():
             out[ok] = cellmod.latlon_to_cell(la[ok], lo[ok], res)
-        return pd.Series(out).where(pd.Series(ok))
+        # nullable Int64, NOT .where(): where() coerces a mixed batch to
+        # float64, silently quantizing 2^60-scale cell ids (cells only
+        # agree to ~2^8). The old double-eval plan masked this by
+        # filtering NULLs before the projection's eval saw the batch.
+        res_arr = pd.array(out, dtype="Int64")
+        res_arr[~ok] = pd.NA
+        return pd.Series(res_arr)
 
-    return encode
+    # deterministic in fact, but marked otherwise so Catalyst cannot
+    # inline the `cell` alias into downstream filters (the equi-join's
+    # inferred isnotnull(cell)) and re-plan a SECOND ArrowEvalPython —
+    # the whole encode chain ran twice on the pip path (plan-verified,
+    # round 4; same pathology as dedup.minhash_signatures)
+    return encode.asNondeterministic()
 
 
 def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon",

@@ -207,7 +207,11 @@ def sample_udf(
             out[mask] = vals
         return pd.Series(out)
 
-    return sample_value
+    # deterministic in fact; marked otherwise so a downstream filter on
+    # the sampled value (e.g. zonal_mode's isNotNull) cannot inline the
+    # alias and re-plan a second ArrowEvalPython running the gather
+    # twice (round 4, same pathology as dedup.minhash_signatures)
+    return sample_value.asNondeterministic()
 
 
 def sample_join_copartitioned(

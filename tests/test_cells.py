@@ -90,3 +90,27 @@ def test_pole_clip_in_ring():
 def test_res_out_of_range():
     with pytest.raises(ValueError):
         C.latlon_to_grid([0.0], [0.0], 27)
+
+
+def test_cell_udf_exact_in_mixed_null_batches(spark):
+    """Round-4 regression: cell ids are ~2^60 and only agree to ~2^8 in
+    float64, so a NULL-bearing Arrow batch must NOT coerce the int64
+    output through float (the old pd.Series.where() path did exactly
+    that, masked by a filter-before-eval plan)."""
+    import numpy as np
+
+    from geotiff_spark.functions import cells as cellmod
+    from geotiff_spark.operators.extract import cell_udf
+
+    rows = [(float(47 + i % 5), float(8 + i % 9)) for i in range(40)]
+    rows += [(None, None)] * 10  # force a mixed batch
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    got = df.select("lat", "lon", cell_udf(7)("lat", "lon").alias("cell")).collect()
+    n_null = sum(1 for r in got if r.cell is None)
+    assert n_null == 10
+    for r in got:
+        if r.cell is None:
+            continue
+        truth = int(cellmod.latlon_to_cell(
+            np.array([r.lat]), np.array([r.lon]), 7)[0])
+        assert r.cell == truth, (r.lat, r.lon, r.cell, truth)

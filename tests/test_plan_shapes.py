@@ -32,6 +32,12 @@ def test_minhash_signatures_plan_has_no_exchange(spark):
     assert _plan(minhash_signatures(wide)).count("Exchange") == 1
     # degenerate 1-row-group scan: at most the one adaptive repartition
     assert _plan(minhash_signatures(docs)).count("Exchange") <= 1
+    # round 4: the NULL-drop filter must not re-plan the UDF — a
+    # deterministic UDF gets alias-inlined into the filter and extracted
+    # into a SECOND ArrowEvalPython (the whole chain evaluated twice,
+    # measured ~2x stage wall); exactly one Python stage allowed
+    assert _plan(minhash_signatures(docs)).count("ArrowEvalPython") == 1
+    assert _plan(minhash_signatures(wide)).count("ArrowEvalPython") == 1
 
 
 def test_simhash_signatures_plan_has_no_exchange(spark):
@@ -41,6 +47,7 @@ def test_simhash_signatures_plan_has_no_exchange(spark):
     wide = docs.repartition(64)
     assert _plan(simhash_signatures(wide)).count("Exchange") == 1
     assert _plan(simhash_signatures(docs)).count("Exchange") <= 1
+    assert _plan(simhash_signatures(docs)).count("ArrowEvalPython") == 1
 
 
 def test_pip_join_broadcasts_polygon_index(spark):
