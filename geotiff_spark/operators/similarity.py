@@ -77,7 +77,11 @@ def cosine_batch_udf():
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
         return pd.Series(dots / (na * nb))
 
-    return cosine_batch
+    # deterministic in fact; marked otherwise so verify stages that
+    # filter on `cos` and also project round(cos) cannot alias-inline
+    # into TWO ArrowEvalPython stages re-scoring every candidate twice
+    # (round 4; same pathology as dedup.minhash_signatures)
+    return cosine_batch.asNondeterministic()
 
 
 def brute_force_topk(
