@@ -521,7 +521,11 @@ def simhash_pairs_from_sigs(
                 for i in range(segs)
             ])
         ).alias("s"),
-    ).select(key, "simhash", "s.seg_id", "s.seg")
+    ).select(key, "simhash", "s.seg_id", "s.seg").localCheckpoint(eager=True)
+    # materialized once: both sides of the pigeonhole self-join read the
+    # same subtree, and without this the (Python) signature stage
+    # upstream would evaluate once PER SIDE (plan-verified, round 4) —
+    # same single-host caveat as bucket_candidate_pairs' checkpoint
     a = stacked.select(
         F.col(key).alias("id_a"), F.col("simhash").alias("sh_a"), "seg_id", "seg"
     )
