@@ -743,6 +743,8 @@ TAIL_QUERIES = [
     "approx_distinct",
     "approx_quantiles",
     "median_price",
+    "ann_cosine_topk",
+    "image_features",
     # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",

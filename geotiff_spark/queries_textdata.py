@@ -527,6 +527,187 @@ GROUP BY d.doc_id
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-wide CHUNK-level exact dedup (CCNet-style paragraph dedup
+    with a deterministic 10-token chunker standing in for paragraph
+    boundaries — the test corpus is single-line): every 10-token chunk
+    keeps only its FIRST occurrence corpus-wide (ordered by doc_id, then
+    chunk position), and documents are reassembled from surviving
+    chunks. Scale shape: chunking + hashing are row-local JVM
+    expressions; the only shuffle is the first-occurrence window keyed
+    by chunk hash (at 10^12 docs: a hash-keyed exchange of (digest,
+    doc_id, pos) triples, never the text). Exact oracle: the same
+    window + ordered string_agg in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    # guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array())
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ", F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda s: s.chunk,
+                )
+            ).alias("new_text"),
+        )
+        .join(
+            chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+SQL_CHUNK_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(CEIL(len(tk) / 10.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, pos) AS rn
+  FROM chunks
+),
+reasm AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS new_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.new_text, '') AS new_text
+FROM totals t LEFT JOIN reasm r ON r.doc_id = t.doc_id
+"""
+
+
+def q_rep_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate
+    2-gram and 3-gram fractions (1 − distinct/total) and the share of
+    tokens covered by the single most frequent 2-gram. All token/n-gram
+    work is row-local JVM; the top-gram count is one (doc_id, gram)
+    aggregation + a per-doc max — at 10^12 docs the shuffle carries
+    integer counts keyed by doc, never text. Fractions are single IEEE
+    divisions of exact ints, so DuckDB reproduces them bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+
+    def grams(n):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array())
+
+    base = docs.select(
+        "doc_id",
+        F.size(grams(2)).alias("n_2g"),
+        F.size(F.array_distinct(grams(2))).alias("d_2g"),
+        F.size(grams(3)).alias("n_3g"),
+        F.size(F.array_distinct(grams(3))).alias("d_3g"),
+        grams(2).alias("g2"),
+    )
+    top = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.drop("g2")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) - F.col("d_2g") / F.greatest("n_2g", F.lit(1)), 6
+            ).alias("dup_2gram_frac"),
+            F.round(
+                F.lit(1.0) - F.col("d_3g") / F.greatest("n_3g", F.lit(1)), 6
+            ).alias("dup_3gram_frac"),
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0))
+                / F.greatest("n_2g", F.lit(1)),
+                6,
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+SQL_REP_SIGNALS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           [array_to_string(tk[i : i + 1], ' ')
+            for i in range(1, len(tk))]
+         ELSE [] END AS g2,
+         CASE WHEN len(tk) >= 3 THEN
+           [array_to_string(tk[i : i + 2], ' ')
+            for i in range(1, len(tk) - 1)]
+         ELSE [] END AS g3
+  FROM toks
+),
+base AS (
+  SELECT doc_id, len(g2) AS n_2g, len(list_distinct(g2)) AS d_2g,
+         len(g3) AS n_3g, len(list_distinct(g3)) AS d_3g, g2
+  FROM g
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(1.0 - d_2g / GREATEST(n_2g, 1), 6) AS dup_2gram_frac,
+       ROUND(1.0 - d_3g / GREATEST(n_3g, 1), 6) AS dup_3gram_frac,
+       ROUND(COALESCE(t.top_c, 0) / GREATEST(n_2g, 1), 6) AS top_2gram_frac
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Web-corpus shape: per-source doc stats (regexp'd key + agg)."""
     docs = _t(spark, sf_dir, "documents")
@@ -925,6 +1106,8 @@ def textdata_queries():
         "embedding_near_dups_planted": (
             q_embedding_near_dups_planted, SQL_EMBEDDING_NEAR_DUPS_PLANTED),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
+        "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+        "rep_signals": (q_rep_signals, SQL_REP_SIGNALS),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),

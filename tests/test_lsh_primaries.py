@@ -174,3 +174,36 @@ def test_char_ngram_short_docs_emit_no_grams(spark):
     assert {r.doc_id for r in grams} == {4, 5}
     pairs = dedup.char_ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(4, 5)]
+
+
+def test_chunk_dedup_first_occurrence_semantics(spark):
+    """Chunk-level dedup: a chunk repeated across docs survives only in
+    the earliest (doc_id, pos); docs reassemble from surviving chunks in
+    original order."""
+    from geotiff_spark.queries_textdata import q_chunk_dedup
+
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, a), (4, "short text")],
+        "doc_id long, text string",
+    )
+
+    import geotiff_spark.queries_textdata as qt
+    orig = qt._t
+    qt._t = lambda _s, _d, _n: docs
+    try:
+        got = {r.doc_id: r for r in q_chunk_dedup(spark, "ignored").collect()}
+    finally:
+        qt._t = orig
+    assert got[1].n_chunks == 2 and got[1].n_kept == 2
+    assert got[1].new_text == f"{a} {b}"
+    # doc 2: chunk b already seen in doc 1 -> only c survives
+    assert got[2].n_chunks == 2 and got[2].n_kept == 1
+    assert got[2].new_text == c
+    # doc 3: chunk a already seen -> nothing survives
+    assert got[3].n_chunks == 1 and got[3].n_kept == 0
+    assert got[3].new_text == ""
+    # doc 4: unique short chunk survives whole
+    assert got[4].n_kept == 1 and got[4].new_text == "short text"
