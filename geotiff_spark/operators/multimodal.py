@@ -295,12 +295,19 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] != b"FVID":
-                    raise NotImplementedError("real video codecs unavailable")
-                w, h, nf = struct.unpack_from("<HHH", payload, 4)
-                frames = np.frombuffer(
-                    payload, dtype=np.uint8, offset=10, count=w * h * nf
-                ).reshape(nf, h, w)
+                if payload[:9] == b"YUV4MPEG2":
+                    frames = decode_y4m_luma(payload)
+                    nf, h, w = frames.shape
+                elif payload[:4] == b"FVID":
+                    w, h, nf = struct.unpack_from("<HHH", payload, 4)
+                    frames = np.frombuffer(
+                        payload, dtype=np.uint8, offset=10, count=w * h * nf
+                    ).reshape(nf, h, w)
+                else:
+                    raise NotImplementedError(
+                        "compressed video codecs unavailable; payload is "
+                        "neither Y4M nor a FAKE-VID container"
+                    )
                 for i in range(0, nf, every):
                     rows.append(
                         {
@@ -319,17 +326,263 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+def decode_y4m_luma(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 (uncompressed video) → (n_frames, h, w) uint8 luma
+    planes. Supports C420/C420jpeg/C420mpeg2, C444 and Cmono; chroma is
+    parsed (to advance correctly) but only Y is returned — frame
+    sampling and luma features need exactly that. Pure numpy."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420jpeg"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("C420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif colorspace == "C444":
+        chroma = 2 * w * h
+    elif colorspace == "Cmono":
+        chroma = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace}")
+    ysz = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos: pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME header at {pos}")
+        pos = fnl + 1
+        if pos + ysz + chroma > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, offset=pos, count=ysz)
+            .reshape(h, w)
+        )
+        pos += ysz + chroma
+    return np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8)
+
+
+def encode_y4m(frames_y: np.ndarray, colorspace: str = "C420jpeg") -> bytes:
+    """(n, h, w) uint8 luma → Y4M bytes; chroma planes (where the
+    colorspace has them) are a deterministic function of the luma
+    (downsampled Y) so decode-side parsing is exercised honestly."""
+    nf, h, w = frames_y.shape
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {colorspace}\n".encode()
+    out = [head]
+    for i in range(nf):
+        out.append(b"FRAME\n")
+        y = frames_y[i]
+        out.append(y.tobytes())
+        if colorspace.startswith("C420"):
+            sub = y[::2, ::2]
+            out.append(sub.tobytes())
+            out.append((255 - sub).tobytes())
+        elif colorspace == "C444":
+            out.append(y.tobytes())
+            out.append((255 - y).tobytes())
+        elif colorspace != "Cmono":
+            raise ValueError(f"unsupported colorspace {colorspace}")
+    return b"".join(out)
+
+
+def synth_wav_row(mid: int) -> dict:
+    """Deterministic REAL-WAV audio row: splitmix-derived samples through
+    encode_wav, cycling PCM 8/16/24/32-bit and float 32/64, mono and
+    stereo — every decode_wav branch in the corpus."""
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    sr = (8000, 16000, 44100)[mid % 3]
+    ns = 256 + r % 1024
+    channels = 1 + (mid % 2)
+    raw = (
+        _fake_pixels(mid, ns * channels * 4).view(np.uint32) % 2001
+    ).astype(np.float64)[: ns * channels] / 1000.0 - 1.0
+    samples = raw.reshape(ns, channels)
+    bits, fmt = ((8, 1), (16, 1), (24, 1), (32, 1), (32, 3), (64, 3))[mid % 6]
+    payload = encode_wav(samples, sr, bits=bits, fmt=fmt)
+    return {
+        "media_id": mid,
+        "kind": "audio",
+        "payload": payload,
+        "meta": {
+            "width": None, "height": None, "channels": channels,
+            "sample_rate": sr, "n_frames": None, "format": "WAV",
+        },
+    }
+
+
+def synth_y4m_row(mid: int) -> dict:
+    """Deterministic REAL-Y4M video row: splitmix luma frames through
+    encode_y4m, cycling C420jpeg/C444/Cmono."""
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + 2 * (r % 12), 8 + 2 * ((r >> 8) % 12)  # even dims for 420
+    nf = 3 + r % 10
+    frames = _fake_pixels(mid, nf * h * w).reshape(nf, h, w)
+    cs = ("C420jpeg", "C444", "Cmono")[mid % 3]
+    return {
+        "media_id": mid,
+        "kind": "video",
+        "payload": encode_y4m(frames, cs),
+        "meta": {
+            "width": w, "height": h, "channels": 1,
+            "sample_rate": None, "n_frames": nf, "format": "Y4M",
+        },
+    }
+
+
+def synth_wav_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_wav_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_y4m_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_y4m_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode FAKE-AUD to (sample_rate, float32 samples). Real codecs are
-    unavailable here — a real deployment plugs ffmpeg/soundfile into this
-    one function, exactly like decode_image."""
+    """Decode to (sample_rate, float32 mono samples). WAV (RIFF/PCM and
+    IEEE-float, any channel count — channels average to mono) decodes
+    for real in pure numpy (round 4); compressed codecs (mp3/opus) would
+    plug ffmpeg into this one function and stay stubbed in this sandbox.
+    The FAKE-AUD container remains for codec-independent shape tests."""
     if payload[:4] == b"FAUD":
         sr, n = struct.unpack_from("<II", payload, 4)
         return sr, np.frombuffer(payload, dtype=np.float32, offset=12, count=n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "real audio codecs unavailable in this environment; "
-        "payload is not a FAKE-AUD container"
+        "compressed audio codecs unavailable in this environment; "
+        "payload is neither WAV nor a FAKE-AUD container"
     )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE → (sample_rate, float32 mono). Supports PCM (format 1:
+    u8, i16, i24, i32) and IEEE float (format 3: f32, f64); multi-channel
+    input averages to mono. Pure struct+numpy — no external libs."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos: pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            s = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            s = ints.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            s = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            s = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (compressed) not supported"
+        )
+    if channels > 1:
+        n = len(s) // channels
+        s = s[: n * channels].reshape(n, channels).mean(axis=1).astype(np.float32)
+    return sample_rate, s
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, bits: int = 16, fmt: int = 1
+) -> bytes:
+    """(n,) or (n, channels) samples in [-1, 1] → RIFF/WAVE bytes.
+    Encoder side of decode_wav for corpus generation and roundtrips."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    if fmt == 1:
+        # rounded quantization with the same scale decode_wav divides by,
+        # so decode(encode(x)) is within 0.5 LSB (clip only at +1.0)
+        def q(scale, lo, hi, dtype):
+            return np.clip(
+                np.round(arr * scale), lo, hi
+            ).astype(dtype)
+
+        if bits == 8:
+            data = (q(128.0, 0 - 128, 127, np.int16) + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            data = q(32768.0, -32768, 32767, "<i2").tobytes()
+        elif bits == 24:
+            flat = q(float(1 << 23), -(1 << 23), (1 << 23) - 1, np.int32).ravel()
+            raw = np.empty((len(flat), 3), dtype=np.uint8)
+            raw[:, 0] = flat & 0xFF
+            raw[:, 1] = (flat >> 8) & 0xFF
+            raw[:, 2] = (flat >> 16) & 0xFF
+            data = raw.tobytes()
+        elif bits == 32:
+            data = q(2147483648.0, -(1 << 31), (1 << 31) - 1, "<i4").tobytes()
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif fmt == 3:
+        data = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+    else:
+        raise ValueError(f"unsupported format {fmt}")
+    balign = channels * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt, channels, sample_rate, sample_rate * balign, balign, bits
+    )
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

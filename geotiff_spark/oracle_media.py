@@ -173,3 +173,68 @@ def png_resize_feature_table() -> str:
 
 def png_resize_features_sql() -> str:
     return f"SELECT * FROM read_parquet('{png_resize_feature_table()}')"
+
+
+N_WAV = 200
+N_Y4M = 200
+MEDIA_V = 1  # bump when wav/y4m generators change
+
+
+def wav_feature_table() -> str:
+    """Expected audio_features rows over the REAL-WAV corpus — same
+    single-process trust pattern as media_feature_tables; decode_wav's
+    two directions are pinned by tests/test_media_codecs.py."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import decode_audio, synth_wav_row
+
+    path = f"{ORACLE_DIR}/wav_audio_features_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_WAV_DONE_{N_WAV}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_WAV):
+        sr, s = decode_audio(synth_wav_row(mid)["payload"])
+        s64 = s.astype(np.float64)
+        rows.append((mid, sr, len(s), len(s) / sr,
+                     float(np.sqrt(np.mean(s64 * s64))),
+                     int(np.count_nonzero(np.diff(np.signbit(s64)))),
+                     float(np.abs(s64).max())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "sample_rate", "n_samples", "duration_sec",
+                       "rms", "zero_crossings", "peak"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def wav_audio_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{wav_feature_table()}')"
+
+
+def y4m_counts_table() -> str:
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import synth_y4m_row
+
+    path = f"{ORACLE_DIR}/y4m_frame_counts_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_Y4M_DONE_{N_Y4M}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = [
+        (mid, -(-synth_y4m_row(mid)["meta"]["n_frames"] // 2))
+        for mid in range(N_Y4M)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "n_frames_sampled"])
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def y4m_frame_sample_sql() -> str:
+    return f"SELECT * FROM read_parquet('{y4m_counts_table()}')"

@@ -325,6 +325,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(mm.synth_media(spark, 300))
 
 
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_features over REAL RIFF/WAVE bytes: the corpus cycles PCM
+    8/16/24/32-bit and IEEE-float 32/64, mono and stereo, decoded by the
+    pure-numpy WAV codec (round 4 — the audio stub made real; mp3/opus
+    remain honestly stubbed). Oracle: single-process decode of the
+    identical corpus (oracle_media.wav_feature_table)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.audio_features(mm.synth_wav_media(spark, 200))
+
+
+def q_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL YUV4MPEG2 streams (C420jpeg/C444/Cmono),
+    luma planes decoded by the pure-numpy Y4M parser — the video stub
+    made real for the uncompressed container class."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return (
+        mm.sample_video_frames(mm.synth_y4m_media(spark, 200), every=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+    )
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotiff_spark.operators import multimodal as mm
 
@@ -415,8 +439,12 @@ def multimodal_queries() -> Registry:
         "png_resize_features": (
             q_png_resize_features, oracle_media.png_resize_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
+        "wav_audio_features": (
+            q_wav_audio_features, oracle_media.wav_audio_features_sql()),
         "video_frame_sample": (
             q_video_frame_sample, oracle_media.video_frame_sample_sql()),
+        "y4m_frame_sample": (
+            q_y4m_frame_sample, oracle_media.y4m_frame_sample_sql()),
         "tile_stats": (q_tile_stats, oracle_raster.tile_stats_sql()),
         "pyramid_stats": (q_pyramid_stats, oracle_raster.pyramid_stats_sql(levels=2)),
         "focal_stats": (q_focal_stats, oracle_raster.focal_stats_sql()),
@@ -745,6 +773,8 @@ TAIL_QUERIES = [
     "median_price",
     "ann_cosine_topk",
     "image_features",
+    "audio_features",
+    "video_frame_sample",
     # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",
