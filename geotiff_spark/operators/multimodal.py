@@ -89,12 +89,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         if arr.dtype != np.uint8:
             arr = (arr >> 8).astype(np.uint8)  # 16-bit → high byte
         return arr
+    if payload[:2] == b"\xff\xd8":  # baseline JPEG (round 4, pure numpy)
+        from geotiff_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:  # pragma: no cover - not installed in this sandbox
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real JPEG/WebP codecs unavailable in this environment; "
-            "payload is neither PNG nor a FAKE-IMG container"
+            "WebP/GIF codecs unavailable in this environment; payload is "
+            "not PNG, JPEG, or a FAKE-IMG container"
         ) from None
     raise NotImplementedError("real-codec path not wired")
 
@@ -393,6 +397,49 @@ def encode_y4m(frames_y: np.ndarray, colorspace: str = "C420jpeg") -> bytes:
         elif colorspace != "Cmono":
             raise ValueError(f"unsupported colorspace {colorspace}")
     return b"".join(out)
+
+
+def synth_jpeg_row(mid: int) -> dict:
+    """One deterministic REAL-JPEG media row: splitmix pixels through the
+    numpy baseline encoder, cycling gray / RGB 4:4:4 / RGB 4:2:0 and
+    quality levels — every decoder branch in the corpus."""
+    from geotiff_spark.functions.jpeg import encode_jpeg
+
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + r % 40, 8 + (r >> 8) % 40
+    kind3 = mid % 3
+    quality = (60, 80, 95)[(r >> 16) % 3]
+    if kind3 == 0:
+        arr = _fake_pixels(mid, w * h).reshape(h, w, 1)
+        payload = encode_jpeg(arr, quality=quality)
+        c = 1
+    else:
+        arr = _fake_pixels(mid, w * h * 3).reshape(h, w, 3)
+        payload = encode_jpeg(
+            arr, quality=quality, subsampling="444" if kind3 == 1 else "420"
+        )
+        c = 3
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": w, "height": h, "channels": c,
+            "sample_rate": None, "n_frames": None, "format": "JPEG",
+        },
+    }
+
+
+def synth_jpeg_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_jpeg_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synth_wav_row(mid: int) -> dict:

@@ -238,3 +238,41 @@ def y4m_counts_table() -> str:
 
 def y4m_frame_sample_sql() -> str:
     return f"SELECT * FROM read_parquet('{y4m_counts_table()}')"
+
+
+N_JPEG = 120
+
+
+def jpeg_feature_table() -> str:
+    """Expected image_features rows over the REAL-JPEG corpus — the
+    decoder's two directions are pinned by tests/test_jpeg.py; this
+    single-process pass pins the Spark side against it."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import decode_image, synth_jpeg_row
+
+    path = f"{ORACLE_DIR}/jpeg_image_features_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_JPEG_DONE_{N_JPEG}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_JPEG):
+        arr = decode_image(synth_jpeg_row(mid)["payload"])
+        means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        rows.append((mid, arr.shape[1], arr.shape[0], float(means[0]),
+                     float(means[1]) if len(means) > 1 else None,
+                     float(means[2]) if len(means) > 2 else None,
+                     float(arr.mean(axis=2).std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                       "mean_b", "std_gray"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def jpeg_image_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{jpeg_feature_table()}')"

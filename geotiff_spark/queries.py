@@ -325,6 +325,17 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(mm.synth_media(spark, 300))
 
 
+def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over REAL baseline-JPEG bytes decoded by the
+    pure-numpy codec (functions/jpeg.py): gray / RGB 4:4:4 / RGB 4:2:0
+    across quality levels — the last image stub made real (WebP/GIF
+    remain stubbed). Oracle: single-process decode of the identical
+    corpus (oracle_media.jpeg_feature_table)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_jpeg_media(spark, 120))
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """audio_features over REAL RIFF/WAVE bytes: the corpus cycles PCM
     8/16/24/32-bit and IEEE-float 32/64, mono and stereo, decoded by the
@@ -438,6 +449,8 @@ def multimodal_queries() -> Registry:
             q_png_image_features, oracle_media.png_image_features_sql()),
         "png_resize_features": (
             q_png_resize_features, oracle_media.png_resize_features_sql()),
+        "jpeg_image_features": (
+            q_jpeg_image_features, oracle_media.jpeg_image_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "wav_audio_features": (
             q_wav_audio_features, oracle_media.wav_audio_features_sql()),
@@ -775,6 +788,7 @@ TAIL_QUERIES = [
     "image_features",
     "audio_features",
     "video_frame_sample",
+    "pyramid_stats",
     # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",

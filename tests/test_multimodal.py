@@ -62,15 +62,18 @@ def test_video_frame_sampling(spark):
 
 
 def test_real_codec_path_raises():
-    # PNG now decodes for real — garbage after the magic is a codec
-    # error, not a stub
+    # PNG and JPEG now decode for real — garbage after the magic is a
+    # codec error, not a stub
+    from geotiff_spark.functions.jpeg import JpegError
     from geotiff_spark.functions.png import PngError
 
     with pytest.raises(PngError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")
-    # JPEG remains honestly stubbed (no Pillow in this sandbox)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(JpegError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 16)
+    # WebP/GIF remain honestly stubbed (no Pillow in this sandbox)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"GIF89a" + b"x" * 16)
 
 
 def test_audio_features_match_local_decode(spark):
@@ -88,5 +91,8 @@ def test_audio_features_match_local_decode(spark):
 
 
 def test_audio_real_codec_path_raises():
-    with pytest.raises(NotImplementedError):
+    # WAV decodes for real now — malformed RIFF is a codec error
+    with pytest.raises(ValueError):
         mm.decode_audio(b"RIFFxxxxWAVExxxx")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04" + b"x" * 32)
