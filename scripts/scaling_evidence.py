@@ -1,4 +1,6 @@
 """Scaling-efficiency evidence (BASELINE.json north rule): run the same
+(splices its section between SCALING markers in BENCH/BASELINE.md —
+never overwrites the rest of the file)
 end-to-end job at two parallelism levels (local[8] vs local[32] — the
 sandbox stand-in for N vs 4N executors) on identical input; report
 throughput at both and efficiency.
@@ -134,16 +136,13 @@ def main() -> int:
     eff_pages = (small["pages_sec_wall"] / big["pages_sec_wall"]) / ratio
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
-        fh.write(f"""# BENCH — measured engine numbers
-
-## Scaling evidence (north rule: efficiency >= 0.8 between N and 4N)
+    section = f"""## Scaling evidence (north rule: efficiency >= 0.8 between N and 4N)
 
 Sandbox stand-in for N vs 4N executors per BASELINE.json: the same jobs at
 local[{args.small}] vs local[{args.big}], identical input, steady state
 (warmed Python workers, cached input), best of {args.runs}x3 runs — this
-host carries co-tenant load (loadavg 10-20 while "idle"), so best-of-n is
-the only way to observe the engine rather than the neighbors.
+host carries co-tenant load, so best-of-n is the only way to observe the
+engine rather than the neighbors.
 
 Two components of the north-star job (decode + cell encode + PIP join):
 
@@ -153,27 +152,24 @@ Two components of the north-star job (decode + cell encode + PIP join):
 | pages e2e (html -> text -> geotag -> cell -> PIP join, {small['n_pages']} pages) | {small['pages_sec_wall']} s | {big['pages_sec_wall']} s | {eff_pages:.2f} |
 
 pages/sec: {small['pages_per_sec']} at N -> {big['pages_per_sec']} at 4N.
-
-### Why the two numbers differ — and what they mean at cluster scale
-
-- The decode job is compute-bound per byte (LZW bit-unpacking, predictor
-  cumsum): it shows the engine's parallel structure directly.
-- The pages job moves ~2.7 KB of html per page through
-  parquet -> JVM -> Arrow -> Python; on ONE box all local[n] threads share
-  a single memory bus, which saturates around 8 cores (measured: raw
-  multi-process CPU scales 16x to 16 physical cores, but the pages job
-  tops out near 1M pages/s regardless of cores). On a real 4N-executor
-  cluster each executor brings its own memory bus and disks, so the
-  bandwidth ceiling scales with N.
-- The engine plan introduces NO serial stage for either job: the pages
-  side is a single mapInPandas over the scan (map-side broadcast join —
-  zero shuffle of the big side); the only shuffle is the final
-  per-polygon count of ~20 groups.
-
-## Headline suite ({time.strftime('%Y-%m-%d')})
-
-See BENCH_r*.json (driver-recorded) for the full suite.
-""")
+"""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    BEGIN, END = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
+    block = f"{BEGIN}\n{section}\n{END}"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if BEGIN in cur and END in cur:
+            pre, rest = cur.split(BEGIN, 1)
+            _mid, post = rest.split(END, 1)
+            cur = pre + block + post
+        else:
+            cur = cur.replace("# BENCH — measured engine numbers\n",
+                              "# BENCH — measured engine numbers\n\n" + block + "\n", 1)
+        with open(path, "w") as fh:
+            fh.write(cur)
+    else:
+        with open(path, "w") as fh:
+            fh.write("# BENCH — measured engine numbers\n\n" + block + "\n")
     print(f"eff_decode: {eff_decode:.3f}  eff_pages: {eff_pages:.3f} -> BENCH/BASELINE.md")
     return 0
 
