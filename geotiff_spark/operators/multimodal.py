@@ -93,12 +93,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         from geotiff_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # GIF (round 4, pure numpy)
+        from geotiff_spark.functions.gif import decode_gif_first_frame
+
+        return decode_gif_first_frame(payload)
     try:  # pragma: no cover - not installed in this sandbox
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "WebP/GIF codecs unavailable in this environment; payload is "
-            "not PNG, JPEG, or a FAKE-IMG container"
+            "WebP codecs unavailable in this environment; payload is "
+            "not PNG, JPEG, GIF, or a FAKE-IMG container"
         ) from None
     raise NotImplementedError("real-codec path not wired")
 
@@ -437,6 +441,41 @@ def synth_jpeg_media(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([synth_jpeg_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_gif_row(mid: int) -> dict:
+    """One deterministic REAL-GIF media row: splitmix palette indices
+    through the numpy GIF encoder, cycling palette sizes (incl. 256 for
+    LZW width growth) and plain/interlaced layouts."""
+    from geotiff_spark.functions.gif import encode_gif
+
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + r % 40, 8 + (r >> 8) % 40
+    k = (4, 16, 64, 256)[mid % 4]
+    idx = (_fake_pixels(mid, w * h) % k).astype(np.uint8).reshape(h, w)
+    pal = _fake_pixels(mid + 31, k * 3).reshape(k, 3)
+    payload = encode_gif(idx, pal, interlace=bool(mid % 2))
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_frames": None, "format": "GIF",
+        },
+    }
+
+
+def synth_gif_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_gif_row(mid) for mid in pdf["id"]])
 
     rng = spark.range(0, n, numPartitions=partitions or 8)
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

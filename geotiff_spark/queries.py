@@ -336,6 +336,17 @@ def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(mm.synth_jpeg_media(spark, 120))
 
 
+def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over REAL GIF bytes decoded by the pure-numpy GIF
+    codec (functions/gif.py — GIF-LZW, interlace, palette sizes up to
+    256 forcing code-width growth). With GIF real, WebP is the only
+    image format left stubbed. Oracle: single-process decode of the
+    identical corpus."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_gif_media(spark, 120))
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """audio_features over REAL RIFF/WAVE bytes: the corpus cycles PCM
     8/16/24/32-bit and IEEE-float 32/64, mono and stereo, decoded by the
@@ -451,6 +462,8 @@ def multimodal_queries() -> Registry:
             q_png_resize_features, oracle_media.png_resize_features_sql()),
         "jpeg_image_features": (
             q_jpeg_image_features, oracle_media.jpeg_image_features_sql()),
+        "gif_image_features": (
+            q_gif_image_features, oracle_media.gif_image_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "wav_audio_features": (
             q_wav_audio_features, oracle_media.wav_audio_features_sql()),
@@ -789,6 +802,7 @@ TAIL_QUERIES = [
     "audio_features",
     "video_frame_sample",
     "pyramid_stats",
+    "vectorize",
     # r02-green stable relational fillers still waiting on their r05 turn
     "distinct_customers",
     "semi_join",

@@ -71,9 +71,13 @@ def test_real_codec_path_raises():
         mm.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")
     with pytest.raises(JpegError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 16)
-    # WebP/GIF remain honestly stubbed (no Pillow in this sandbox)
-    with pytest.raises(NotImplementedError):
+    from geotiff_spark.functions.gif import GifError
+
+    with pytest.raises(GifError):
         mm.decode_image(b"GIF89a" + b"x" * 16)
+    # WebP remains honestly stubbed (no Pillow in this sandbox)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"x" * 16)
 
 
 def test_audio_features_match_local_decode(spark):
