@@ -272,6 +272,10 @@ def encode_gif(
     if indices.ndim == 2:
         indices = indices[None]
     nf, h, w = indices.shape
+    if delays is not None and len(delays) != nf:
+        raise GifError(
+            f"delays has {len(delays)} entries for {nf} frames"
+        )
     k = len(palette)
     if k < 2 or k > 256:
         raise GifError("palette size must be in [2, 256]")

@@ -318,12 +318,22 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker id (ADVICE r04)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # stand-alone markers (TEM, RSTn, SOI) carry no length field
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegError(f"truncated marker segment at {pos}")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4: pos + 2 + seglen]
         pos += 2 + seglen

@@ -216,6 +216,10 @@ def encode_png(
         ftypes = [filters] * h
     else:
         ftypes = list(filters)
+        if len(ftypes) != h:
+            raise ValueError(
+                f"filters has {len(ftypes)} entries for {h} rows"
+            )
     out = bytearray()
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

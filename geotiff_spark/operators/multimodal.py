@@ -385,6 +385,12 @@ def encode_y4m(frames_y: np.ndarray, colorspace: str = "C420jpeg") -> bytes:
     colorspace has them) are a deterministic function of the luma
     (downsampled Y) so decode-side parsing is exercised honestly."""
     nf, h, w = frames_y.shape
+    if colorspace.startswith("C420") and (h % 2 or w % 2):
+        # ceil-sized chroma planes (y[::2,::2]) would misalign the
+        # floor-sized reader stride on odd dims (ADVICE r04)
+        raise ValueError(
+            f"C420 colorspaces need even dimensions, got {w}x{h}"
+        )
     head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {colorspace}\n".encode()
     out = [head]
     for i in range(nf):

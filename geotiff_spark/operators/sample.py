@@ -38,11 +38,38 @@ DEFAULT_MAX_BROADCAST_BYTES = 512 << 20
 
 # Per-process caches so repeated sampling queries in one session don't
 # re-run the decode/probe jobs for the same (small) raster corpus. Keyed
-# by the sorted path tuple; bounded — sampling corpora worth caching are
-# the broadcastable ones.
-_RECORDS_CACHE: dict[tuple[str, ...], dict[str, dict]] = {}
-_SIZES_CACHE: dict[tuple[str, ...], int] = {}
+# by (path, mtime_ns, size) per sorted path — a raster rewritten
+# mid-session invalidates the entry instead of serving stale pixels
+# (ADVICE r04). Bounded — sampling corpora worth caching are the
+# broadcastable ones.
+_RECORDS_CACHE: dict[tuple, dict[str, dict]] = {}
+_SIZES_CACHE: dict[tuple, int] = {}
 _CACHE_MAX = 4
+
+
+def _cache_key(paths: list[str]) -> tuple:
+    import os
+
+    parts = []
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            parts.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            parts.append((p, -1, -1))
+    return tuple(parts)
+
+
+def _add_record(records: dict, rid: str, rec: dict) -> None:
+    """raster_id is the file BASENAME — two corpus paths sharing one
+    basename would silently collapse to a single record (dict
+    overwrite); fail loudly instead (ADVICE r04)."""
+    if rid in records:
+        raise ValueError(
+            f"duplicate raster basename {rid!r} in corpus — raster_id is "
+            "the basename, so each file needs a distinct one"
+        )
+    records[rid] = rec
 
 
 def load_raster_records(paths: list[str]) -> dict[str, dict]:
@@ -57,7 +84,7 @@ def load_raster_records(paths: list[str]) -> dict[str, dict]:
         with open(p, "rb") as fh:
             rec = read_geotiff(fh.read())
         rid = p.rsplit("/", 1)[-1]
-        records[rid] = {
+        _add_record(records, rid, {
             "width": rec["width"],
             "height": rec["height"],
             "num_samples": rec["num_samples"],
@@ -66,7 +93,7 @@ def load_raster_records(paths: list[str]) -> dict[str, dict]:
             "raster_type": rec["raster_type"],
             "extent": rec["extent"],
             "data": rec["array"].tobytes(),
-        }
+        })
     return records
 
 
@@ -78,7 +105,7 @@ def load_raster_records_distributed(
     the driver only receives the finished arrays. Raises on any decode
     error row — a silently missing raster would turn into all-NULL
     samples downstream."""
-    key = tuple(sorted(paths))
+    key = _cache_key(paths)
     cached = _RECORDS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -91,7 +118,7 @@ def load_raster_records_distributed(
             raise RuntimeError(
                 f"raster decode failed for {r['raster_id']}: {r['error']}"
             )
-        records[r["raster_id"]] = {
+        _add_record(records, r["raster_id"], {
             "width": r["width"],
             "height": r["height"],
             "num_samples": r["num_samples"],
@@ -105,7 +132,7 @@ def load_raster_records_distributed(
                 r["extent"]["maxx"], r["extent"]["maxy"],
             ),
             "data": bytes(r["data"]),
-        }
+        })
     if len(_RECORDS_CACHE) >= _CACHE_MAX:
         _RECORDS_CACHE.pop(next(iter(_RECORDS_CACHE)))
     _RECORDS_CACHE[key] = records
@@ -154,7 +181,7 @@ def raster_decoded_sizes(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def _total_decoded_bytes(spark: SparkSession, paths: list[str]) -> int:
-    key = tuple(sorted(paths))
+    key = _cache_key(paths)
     cached = _SIZES_CACHE.get(key)
     if cached is not None:
         return cached

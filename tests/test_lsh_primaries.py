@@ -207,3 +207,40 @@ def test_chunk_dedup_first_occurrence_semantics(spark):
     assert got[3].new_text == ""
     # doc 4: unique short chunk survives whole
     assert got[4].n_kept == 1 and got[4].new_text == "short text"
+
+
+def test_chunk_dedup_hot_chunk_skew(spark):
+    """Round-5 skew drill: ONE boilerplate chunk appears in 50% of docs
+    (the '(c) all rights reserved'-at-10^9 shape VERDICT r04 flagged).
+    With the groupBy+min(struct) rewrite the hot digest collapses to one
+    candidate per map task before the exchange; semantics must still be
+    first-occurrence-wins."""
+    from geotiff_spark.queries_textdata import q_chunk_dedup
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    rows = []
+    for d in range(1, 401):
+        uniq = " ".join(f"d{d}t{i}" for i in range(10))
+        rows.append((d, f"{boiler} {uniq}" if d % 2 == 0 else uniq))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import geotiff_spark.queries_textdata as qt
+    orig = qt._t
+    qt._t = lambda _s, _d, _n: docs
+    try:
+        got = {r.doc_id: r for r in q_chunk_dedup(spark, "ignored").collect()}
+    finally:
+        qt._t = orig
+
+    assert len(got) == 400
+    # doc 2 is the FIRST (lowest doc_id) holder of the boilerplate chunk
+    uniq2 = " ".join(f"d2t{i}" for i in range(10))
+    assert got[2].n_kept == 2 and got[2].new_text == f"{boiler} {uniq2}"
+    # every later even doc loses the boilerplate, keeps its unique chunk
+    for d in range(4, 401, 2):
+        uniq = " ".join(f"d{d}t{i}" for i in range(10))
+        assert got[d].n_chunks == 2 and got[d].n_kept == 1, d
+        assert got[d].new_text == uniq, d
+    # odd docs untouched
+    for d in range(1, 401, 2):
+        assert got[d].n_chunks == 1 and got[d].n_kept == 1, d

@@ -111,3 +111,24 @@ def test_compact_cells_no_cartesian_and_broadcast_anti_join(spark):
     plan = _plan(compact_cells(grid, res=4))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_dedup_first_occurrence_is_partial_aggregatable(spark):
+    """Round-5 skew fix (VERDICT r04 'What's wrong' #2): first-occurrence
+    -wins must be a partial-aggregatable min over (doc_id, pos, chunk) —
+    a `partial_min` combine BEFORE the digest-keyed Exchange — never a
+    row_number() window that routes every occurrence of a hot chunk to
+    one task's sort."""
+    from geotiff_spark.queries_textdata import q_chunk_dedup
+
+    plan = _plan(q_chunk_dedup(spark, SF))
+    assert "partial_min(struct(doc_id" in plan, plan
+    assert "Window" not in plan and "row_number" not in plan, plan
+    # the partial agg must sit below (after in toString order) the
+    # digest exchange: find the digest exchange line and check a
+    # partial_min appears later (deeper) in the tree string
+    lines = plan.splitlines()
+    digest_exchanges = [i for i, l in enumerate(lines)
+                        if "Exchange hashpartitioning(_groupingexpression" in l]
+    assert digest_exchanges, plan
+    assert any("partial_min" in l for l in lines[digest_exchanges[0]:]), plan

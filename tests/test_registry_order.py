@@ -10,8 +10,8 @@ import os
 
 from geotiff_spark.queries import DRIVER_WINDOW, TAIL_QUERIES, registry
 
-R02 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
 R03 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
+R04 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
 
 
 def test_every_query_has_fn_and_registry_is_well_formed():
@@ -46,10 +46,10 @@ def test_tail_entries_are_individually_justified():
     reg = registry()
     names = list(reg)
     head = set(names[:DRIVER_WINDOW])
-    with open(R02) as fh:
-        r02 = json.load(fh)
     with open(R03) as fh:
         r03 = json.load(fh)
+    with open(R04) as fh:
+        r04 = json.load(fh)
 
     stale = []
     for q in names[DRIVER_WINDOW:]:
@@ -60,8 +60,8 @@ def test_tail_entries_are_individually_justified():
                 f"{q} must share its oracle with in-window {primary}"
             )
         else:
-            recent = r03.get(q, {}).get("hash_match")
-            older = r02.get(q, {}).get("hash_match")
+            recent = r04.get(q, {}).get("hash_match")
+            older = r03.get(q, {}).get("hash_match")
             assert recent or older, (
                 f"{q} is past the driver window with no green row in the "
                 "last two driver rounds — move it inside the window"
