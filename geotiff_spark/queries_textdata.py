@@ -547,8 +547,13 @@ def q_chunk_dedup(spark, sf_dir):
     winners, since min over (doc_id, pos) picks the same row as
     row_number()==1 under the same ordering and the digest determines
     the chunk bytes."""
-    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup_frame(_t(spark, sf_dir, "documents"))
 
+
+def chunk_dedup_frame(docs):
+    """Chunk-level exact dedup over any (doc_id, text) frame — the
+    engine core of :func:`q_chunk_dedup`, also benched directly over
+    the 2M-row synthetic pages corpus (bench.py)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
     # guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty
@@ -632,7 +637,13 @@ def q_rep_signals(spark, sf_dir):
     aggregation + a per-doc max — at 10^12 docs the shuffle carries
     integer counts keyed by doc, never text. Fractions are single IEEE
     divisions of exact ints, so DuckDB reproduces them bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents")
+    return rep_signals_frame(_t(spark, sf_dir, "documents"))
+
+
+def rep_signals_frame(docs):
+    """Repetition signals over any (doc_id, text) frame — the engine
+    core of :func:`q_rep_signals`, also benched over the 2M-row
+    synthetic pages corpus (bench.py)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
 
     def grams(n):
