@@ -72,10 +72,11 @@ def encode_fake_image(media_id: int, w: int, h: int, c: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode to (h, w, c) uint8. PNG decodes for real (pure-numpy codec,
-    functions/png.py — round 4); JPEG/WebP would plug Pillow into this one
-    function and remain stubbed in this sandbox. The fake container keeps
-    downstream shapes testable independently of any codec."""
+    """Decode to (h, w, c) uint8. PNG, baseline JPEG, GIF, and lossless
+    WebP (VP8L) decode for real (pure-numpy codecs under functions/);
+    lossy-VP8 WebP is the one image path still stubbed (would need
+    Pillow, absent in this sandbox). The fake container keeps downstream
+    shapes testable independently of any codec."""
     if payload[:4] == b"FIMG":
         w, h, c = struct.unpack_from("<HHB", payload, 4)
         return (
@@ -97,12 +98,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         from geotiff_spark.functions.gif import decode_gif_first_frame
 
         return decode_gif_first_frame(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L (round 5, pure numpy); lossy VP8 raises
+        # NotImplementedError inside decode_webp (DCT codec out of
+        # pure-numpy scope in this sandbox)
+        from geotiff_spark.functions.webp import decode_webp_rgb
+
+        return decode_webp_rgb(payload)
     try:  # pragma: no cover - not installed in this sandbox
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "WebP codecs unavailable in this environment; payload is "
-            "not PNG, JPEG, GIF, or a FAKE-IMG container"
+            "payload is not PNG, JPEG, GIF, lossless WebP, or a "
+            "FAKE-IMG container (lossy-VP8 WebP needs Pillow, absent "
+            "here)"
         ) from None
     raise NotImplementedError("real-codec path not wired")
 
@@ -482,6 +491,74 @@ def synth_gif_media(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([synth_gif_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_webp_row(mid: int) -> dict:
+    """One deterministic REAL lossless-WebP media row. The variant cycle
+    covers every VP8L decoder branch: plain literals, subtract-green,
+    all 14 predictor modes (block-cycled), the cross-color transform,
+    palettes at every packing width (2/4/13/200 colors → width_bits
+    3/2/1/0), meta-prefix groups, LZ77 with and without plane-code
+    distances, color caches small and large, the combined
+    subtract-green+predictor+color stack, and a varying alpha plane."""
+    from geotiff_spark.functions.webp import encode_webp_lossless
+
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + r % 32, 8 + (r >> 8) % 32
+    # tiled patch → real LZ77/back-reference opportunities
+    tw, th = 3 + r % 4, 3 + (r >> 16) % 4
+    tile = _fake_pixels(mid, tw * th * 3).reshape(th, tw, 3)
+    reps = (h // th + 1, w // tw + 1, 1)
+    base = np.tile(tile, reps)[:h, :w, :]
+    variant = mid % 12
+    kw: dict = {}
+    img = base
+    if variant == 0:
+        pass  # plain literals
+    elif variant == 1:
+        kw = dict(transforms=("subtract_green",), use_lz77=True)
+    elif variant == 2:
+        kw = dict(transforms=("predictor",), size_bits=2)
+    elif variant == 3:
+        kw = dict(transforms=("color",), size_bits=3, cache_bits=4)
+    elif variant in (4, 5, 6, 7):
+        k = {4: 2, 5: 4, 6: 13, 7: 200}[variant]
+        pal = _fake_pixels(mid + 97, k * 3).reshape(k, 3)
+        idx = (_fake_pixels(mid + 13, w * h) % k).reshape(h, w)
+        img = pal[idx]
+        kw = dict(transforms=("palette",), use_lz77=False)
+    elif variant == 8:
+        kw = dict(meta_bits=3, use_lz77=True, cache_bits=6)
+    elif variant == 9:
+        kw = dict(use_lz77=True, use_plane_codes=True)
+    elif variant == 10:
+        kw = dict(transforms=("subtract_green", "predictor", "color"),
+                  cache_bits=10, use_lz77=True)
+    else:
+        alpha = (_fake_pixels(mid + 7, w * h) % 256).reshape(h, w, 1)
+        img = np.concatenate([base, alpha], axis=2)
+    payload = encode_webp_lossless(img, **kw)
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_frames": None, "format": "WEBP",
+        },
+    }
+
+
+def synth_webp_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([synth_webp_row(mid) for mid in pdf["id"]])
 
     rng = spark.range(0, n, numPartitions=partitions or 8)
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -310,3 +310,37 @@ def gif_feature_table() -> str:
 
 def gif_image_features_sql() -> str:
     return f"SELECT * FROM read_parquet('{gif_feature_table()}')"
+
+
+N_WEBP = 120
+
+
+def webp_feature_table() -> str:
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import decode_image, synth_webp_row
+
+    path = f"{ORACLE_DIR}/webp_image_features_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_WEBP_DONE_{N_WEBP}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_WEBP):
+        arr = decode_image(synth_webp_row(mid)["payload"])
+        means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        rows.append((mid, arr.shape[1], arr.shape[0], float(means[0]),
+                     float(means[1]), float(means[2]),
+                     float(arr.mean(axis=2).std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                       "mean_b", "std_gray"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def webp_image_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{webp_feature_table()}')"

@@ -328,8 +328,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """image_features over REAL baseline-JPEG bytes decoded by the
     pure-numpy codec (functions/jpeg.py): gray / RGB 4:4:4 / RGB 4:2:0
-    across quality levels — the last image stub made real (WebP/GIF
-    remain stubbed). Oracle: single-process decode of the identical
+    across quality levels (round 4; GIF followed the same round, and
+    lossless WebP landed round 5 — only lossy VP8 remains stubbed). Oracle: single-process decode of the identical
     corpus (oracle_media.jpeg_feature_table)."""
     from geotiff_spark.operators import multimodal as mm
 
@@ -339,12 +339,27 @@ def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """image_features over REAL GIF bytes decoded by the pure-numpy GIF
     codec (functions/gif.py — GIF-LZW, interlace, palette sizes up to
-    256 forcing code-width growth). With GIF real, WebP is the only
-    image format left stubbed. Oracle: single-process decode of the
+    256 forcing code-width growth). With round 5's VP8L codec, lossy
+    VP8 is the only image path left stubbed. Oracle: single-process decode of the
     identical corpus."""
     from geotiff_spark.operators import multimodal as mm
 
     return mm.image_features(mm.synth_gif_media(spark, 120))
+
+
+def q_webp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over REAL lossless-WebP bytes decoded by the
+    pure-numpy VP8L codec (functions/webp.py — round 5; the last image
+    format a crawl corpus commonly carries that was still stubbed). The
+    corpus cycles every decoder branch: all four transforms (incl.
+    every packing width of color-indexing and all 14 predictor modes),
+    LZ77 with plane-code and direct distances, color caches, and
+    meta-prefix groups. Lossy VP8 remains honestly stubbed. Oracle:
+    single-process decode of the identical corpus
+    (oracle_media.webp_feature_table)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_webp_media(spark, 120))
 
 
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +479,8 @@ def multimodal_queries() -> Registry:
             q_jpeg_image_features, oracle_media.jpeg_image_features_sql()),
         "gif_image_features": (
             q_gif_image_features, oracle_media.gif_image_features_sql()),
+        "webp_image_features": (
+            q_webp_image_features, oracle_media.webp_image_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "wav_audio_features": (
             q_wav_audio_features, oracle_media.wav_audio_features_sql()),
@@ -798,6 +815,7 @@ TAIL_QUERIES = [
     # chunk_dedup (rewritten round 5 — needs a fresh driver row for the
     # skew fix), stream_dedup_users (gate strengthened round 5), and
     # cell_assign (flagship).
+    "pip_join",
     "pip_counts",
     "zonal_stats",
     "zonal_stats_copart",

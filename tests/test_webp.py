@@ -1,0 +1,185 @@
+"""VP8L (lossless WebP) codec tests: exact roundtrips through every
+transform / entropy branch, spec edge semantics, error paths, and the
+multimodal dispatch. VP8L is lossless, so every roundtrip asserts
+bit-exact pixels."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geotiff_spark.functions.webp import (
+    WebpError,
+    _distance_to_plane,
+    _plane_to_distance,
+    _prefix_decode,
+    _prefix_encode,
+    decode_webp,
+    decode_webp_rgb,
+    encode_webp_lossless,
+)
+
+
+def _img(seed, h, w, c=3):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, c),
+                                               dtype=np.uint8)
+
+
+def _tiled(seed, h, w, th=4, tw=4):
+    tile = _img(seed, th, tw)
+    return np.tile(tile, (h // th + 1, w // tw + 1, 1))[:h, :w, :]
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"transforms": ("subtract_green",)},
+    {"transforms": ("predictor",), "size_bits": 2},
+    {"transforms": ("predictor",), "size_bits": 4},
+    {"transforms": ("color",), "size_bits": 3},
+    {"transforms": ("subtract_green", "predictor")},
+    {"transforms": ("subtract_green", "predictor", "color"),
+     "cache_bits": 10, "use_lz77": True},
+    {"use_lz77": True},
+    {"use_lz77": True, "use_plane_codes": True},
+    {"cache_bits": 4},
+    {"cache_bits": 1},
+    {"meta_bits": 2},
+    {"meta_bits": 3, "use_lz77": True, "cache_bits": 6},
+])
+def test_roundtrip_variants(kw):
+    img = _tiled(hash(str(kw)) % 1000, 21, 27)
+    out = decode_webp(encode_webp_lossless(img, **kw))
+    assert np.array_equal(out[:, :, :3], img)
+    assert (out[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 5, 16, 17, 200, 256])
+def test_roundtrip_palette_packing_widths(k):
+    """Every packing width: ≤2→8px/byte, ≤4→4, ≤16→2, else none —
+    including widths that don't divide the row evenly."""
+    pal = _img(k, 1, k)[0]
+    idx = np.random.RandomState(k).randint(0, k, (13, 23))
+    img = pal[idx]
+    out = decode_webp(encode_webp_lossless(img, transforms=("palette",),
+                                           use_lz77=False))
+    assert np.array_equal(out[:, :, :3], img)
+
+
+def test_all_14_predictor_modes_covered():
+    """size_bits=2 on a 40x40 image → 10x10 blocks, mode = block % 14 —
+    every predictor mode appears and roundtrips exactly."""
+    img = _img(7, 40, 40)
+    out = decode_webp(encode_webp_lossless(img, transforms=("predictor",),
+                                           size_bits=2))
+    assert np.array_equal(out[:, :, :3], img)
+
+
+def test_alpha_plane_roundtrip():
+    rgba = _img(11, 15, 9, c=4)
+    out = decode_webp(encode_webp_lossless(rgba))
+    assert np.array_equal(out, rgba)
+    assert decode_webp_rgb(encode_webp_lossless(rgba)).shape == (15, 9, 3)
+
+
+def test_single_pixel_and_flat_color():
+    one = np.full((1, 1, 3), 7, np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(one))[0, 0, :3],
+                          [7, 7, 7])
+    flat = np.full((8, 8, 3), 200, np.uint8)
+    out = decode_webp(encode_webp_lossless(flat, cache_bits=2,
+                                           use_lz77=True))
+    assert (out[:, :, :3] == 200).all()
+
+
+def test_prefix_value_coding_roundtrips():
+    br_cls = None
+    for v in list(range(1, 70)) + [120, 1000, 4095]:
+        code, extra, ebits = _prefix_encode(v)
+        # decode side: reconstruct without a bit reader for ebits=0,
+        # else check the arithmetic identity the reader applies
+        if code < 4:
+            assert v == code + 1
+        else:
+            eb = (code - 2) >> 1
+            offset = (2 + (code & 1)) << eb
+            assert ebits == eb and v == offset + extra + 1
+
+
+def test_plane_code_distance_map_roundtrips():
+    for w in (8, 17, 64):
+        for pc in range(1, 121):
+            d = _plane_to_distance(pc, w)
+            # encoder inverse → decoder forward must reproduce the
+            # distance (the inverse may pick a different plane code when
+            # two codes collapse to the same clamped distance)
+            assert _plane_to_distance(_distance_to_plane(d, w), w) == d
+        # direct (non-plane) distances are biased by 120
+        assert _plane_to_distance(126, w) == 6
+    # plane code 1 is the pixel directly above; 2 is the left pixel
+    assert _plane_to_distance(1, 64) == 64
+    assert _plane_to_distance(2, 64) == 1
+
+
+def test_errors():
+    img = _img(3, 8, 8)
+    good = encode_webp_lossless(img)
+    with pytest.raises(WebpError):
+        decode_webp(b"RIFX" + good[4:])
+    with pytest.raises(WebpError):
+        decode_webp(good[:12])  # no VP8L chunk
+    bad = bytearray(good)
+    sig_off = 12 + 8  # first payload byte = VP8L signature
+    bad[sig_off] = 0x2E
+    with pytest.raises(WebpError):
+        decode_webp(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        # lossy VP8 container is recognized and honestly rejected
+        decode_webp(b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP"
+                    + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4)
+    with pytest.raises(WebpError):
+        encode_webp_lossless(img, transforms=("palette", "predictor"))
+    # >256 distinct colors cannot be paletted
+    many = np.arange(300, dtype=np.uint32)
+    rgb300 = np.stack([many & 0xFF, (many >> 8) & 0xFF,
+                       np.zeros_like(many)], axis=1).astype(np.uint8)
+    with pytest.raises(WebpError):
+        encode_webp_lossless(rgb300.reshape(300, 1, 3),
+                             transforms=("palette",))
+    # truncated stream
+    with pytest.raises(WebpError):
+        decode_webp(good[: len(good) - 6])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 10**6),
+    variant=st.integers(0, 4),
+)
+def test_roundtrip_hypothesis(h, w, seed, variant):
+    img = _img(seed, h, w)
+    kw = [
+        {},
+        {"transforms": ("subtract_green",)},
+        {"transforms": ("predictor",)},
+        {"use_lz77": True, "cache_bits": 3},
+        {"transforms": ("color",)},
+    ][variant]
+    out = decode_webp(encode_webp_lossless(img, **kw))
+    assert np.array_equal(out[:, :, :3], img)
+
+
+def test_decode_image_dispatches_webp():
+    from geotiff_spark.operators.multimodal import decode_image
+
+    img = _tiled(5, 12, 12)
+    arr = decode_image(encode_webp_lossless(img, use_lz77=True))
+    assert np.array_equal(arr, img)
+
+
+def test_synth_corpus_every_variant_decodes():
+    from geotiff_spark.operators.multimodal import decode_image, synth_webp_row
+
+    for mid in range(24):  # two full variant cycles
+        row = synth_webp_row(mid)
+        arr = decode_image(row["payload"])
+        assert arr.shape == (row["meta"]["height"], row["meta"]["width"], 3)
