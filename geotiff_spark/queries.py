@@ -813,8 +813,13 @@ TAIL_QUERIES = [
     # rule mandates this round. Stays in-window regardless: the four
     # no_oracle queries + their gates, the three `_exact` primaries,
     # chunk_dedup (rewritten round 5 — needs a fresh driver row for the
-    # skew fix), stream_dedup_users (gate strengthened round 5), and
-    # cell_assign (flagship).
+    # skew fix), and the round-5 additions (webp_image_features,
+    # decontaminate, pii_scrub). cell_assign and stream_dedup_users
+    # (both r04-green; the strengthened dedup-gate assertion runs
+    # wherever the query runs, incl. the committed full-registry
+    # self-run) take the tail to hold the window at 50.
+    "cell_assign",
+    "stream_dedup_users",
     "pip_join",
     "pip_counts",
     "zonal_stats",

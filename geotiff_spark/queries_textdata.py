@@ -1105,6 +1105,128 @@ GROUP BY doc_id, text
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train-set decontamination (standard LLM training-data hygiene:
+    Gopher / GPT-3 style): flag every training document sharing any
+    8-token shingle with the held-out evaluation set (docs with
+    doc_id % 50 == 0 stand in for the benchmark suite). Scale shape:
+    eval shingles hash to 64-bit and BROADCAST (the eval set is tiny
+    next to the corpus — benchmark suites are ~10^5 docs against 10^12
+    training docs), so the train side is one row-local shingle pass +
+    a broadcast LEFT SEMI membership probe per shingle and ONE
+    aggregation keyed by doc — no train-side text ever shuffles. Exact
+    oracle: the same shingle sets in DuckDB via a plain anti/semi
+    join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(7)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode_outer(grams).alias("g")
+    )
+    hits = (
+        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias(
+                "contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(tk[i : i + 7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM grams g JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+       COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+# dialect-portable redaction patterns (identical under Java regex and
+# DuckDB RE2: no lookaround, no backreferences)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"[0-9]{9,}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass (training-data hygiene): redact email
+    addresses and ≥9-digit numeric runs (phone/ID shapes), counting
+    redactions per document. Pure row-local JVM regexp work — at 10^12
+    docs this is a map with zero shuffle (the driver-gate projection
+    keeps doc_id + counts + a scrubbed-text hash rather than shipping
+    scrubbed text to the comparator). Patterns are dialect-portable
+    (no lookaround/backrefs) so DuckDB's RE2 reproduces Java's regex
+    byte-for-byte on them."""
+    docs = _t(spark, sf_dir, "documents")
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+    scrub1 = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
+    n_digits = F.size(
+        F.regexp_extract_all(scrub1, F.lit(_PII_DIGITS), 0)
+    )
+    scrubbed = F.regexp_replace(scrub1, _PII_DIGITS, "<NUMBER>")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_digits.alias("n_long_digit_runs"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+SQL_PII_SCRUB = (
+    "SELECT doc_id, "
+    f"len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails, "
+    f"len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL}', "
+    f"'<EMAIL>', 'g'), '{_PII_DIGITS}')) AS n_long_digit_runs, "
+    f"md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', "
+    f"'g'), '{_PII_DIGITS}', '<NUMBER>', 'g')) AS scrubbed_md5, "
+    f"length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', "
+    f"'<EMAIL>', 'g'), '{_PII_DIGITS}', '<NUMBER>', 'g')) AS scrubbed_len "
+    "FROM documents"
+)
+
+
 def textdata_queries():
     return {
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -1128,6 +1250,8 @@ def textdata_queries():
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
         "rep_signals": (q_rep_signals, SQL_REP_SIGNALS),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -244,3 +244,69 @@ def test_chunk_dedup_hot_chunk_skew(spark):
     # odd docs untouched
     for d in range(1, 401, 2):
         assert got[d].n_chunks == 1 and got[d].n_kept == 1, d
+
+
+def test_decontaminate_semantics(spark):
+    """Doc sharing an 8-token shingle with the eval set (doc_id%50==0)
+    is flagged; disjoint docs are not; eval docs are excluded."""
+    from geotiff_spark.queries_textdata import q_decontaminate
+
+    ev = " ".join(f"e{i}" for i in range(8))          # eval doc text
+    rows = [
+        (0, f"prefix {ev} suffix"),                    # eval (excluded)
+        (1, f"copied here {ev} end"),                  # contaminated
+        (2, " ".join(f"c{i}" for i in range(12))),     # clean
+        (3, "too short"),                              # <8 tokens: clean
+        (50, " ".join(f"x{i}" for i in range(9))),     # eval (excluded)
+        (51, " ".join(f"x{i}" for i in range(1, 10))), # shares no FULL
+                                                       # 8-gram? x1..x8
+                                                       # IS in doc 50
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import geotiff_spark.queries_textdata as qt
+    orig = qt._t
+    qt._t = lambda _s, _d, _n: docs
+    try:
+        got = {r.doc_id: r for r in q_decontaminate(spark, "x").collect()}
+    finally:
+        qt._t = orig
+    assert sorted(got) == [1, 2, 3, 51]
+    assert got[1].contaminated and got[1].n_contaminated_grams == 1
+    assert not got[2].contaminated
+    assert not got[3].contaminated and got[3].n_contaminated_grams == 0
+    # doc 50 = x0..x8 has 8-grams {x0..x7, x1..x8}; doc 51 = x1..x9 has
+    # {x1..x8, x2..x9} -> one shared gram
+    assert got[51].contaminated and got[51].n_contaminated_grams == 1
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The eval-gram membership probe must be a BROADCAST semi join —
+    the train side (10^12 docs at scale) must not sort-merge shuffle."""
+    from geotiff_spark.queries_textdata import q_decontaminate
+
+    plan = q_decontaminate(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0], plan
+
+
+def test_pii_scrub_semantics(spark):
+    import hashlib
+
+    from geotiff_spark.queries_textdata import q_pii_scrub
+
+    text = "mail a@b.co or ab.c-d@ex.org x 123456789 12345678 end"
+    expected = "mail <EMAIL> or <EMAIL> x <NUMBER> 12345678 end"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    import geotiff_spark.queries_textdata as qt
+    orig = qt._t
+    qt._t = lambda _s, _d, _n: docs
+    try:
+        row = q_pii_scrub(spark, "x").collect()[0]
+    finally:
+        qt._t = orig
+    assert row.n_emails == 2
+    assert row.n_long_digit_runs == 1  # 8-digit run stays
+    assert row.scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert row.scrubbed_len == len(expected)
