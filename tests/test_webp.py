@@ -92,7 +92,6 @@ def test_single_pixel_and_flat_color():
 
 
 def test_prefix_value_coding_roundtrips():
-    br_cls = None
     for v in list(range(1, 70)) + [120, 1000, 4095]:
         code, extra, ebits = _prefix_encode(v)
         # decode side: reconstruct without a bit reader for ebits=0,
@@ -183,3 +182,25 @@ def test_synth_corpus_every_variant_decodes():
         row = synth_webp_row(mid)
         arr = decode_image(row["payload"])
         assert arr.shape == (row["meta"]["height"], row["meta"]["width"], 3)
+
+
+def test_vp8x_extended_container():
+    """A VP8X (extended) container whose image data is a VP8L chunk
+    must decode: the chunk scanner skips unknown chunks (with odd-size
+    padding) until it reaches VP8L."""
+    import struct
+
+    img = _img(21, 10, 14)
+    plain = encode_webp_lossless(img)
+    # extract the VP8L chunk from the plain container
+    (size,) = struct.unpack_from("<I", plain, 16)
+    vp8l_chunk = plain[12: 12 + 8 + size + (size & 1)]
+    # VP8X header: 4-byte flags + 3-byte w-1 + 3-byte h-1 (10 bytes)
+    vp8x_body = b"\x00\x00\x00\x00" + b"\x0d\x00\x00" + b"\x09\x00\x00"
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    # an odd-sized unknown chunk before VP8L exercises pad-skipping
+    junk = b"XMP " + struct.pack("<I", 3) + b"abc\x00"
+    riff = b"WEBP" + vp8x + junk + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    out = decode_webp(data)
+    assert np.array_equal(out[:, :, :3], img)
