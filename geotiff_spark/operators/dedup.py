@@ -622,3 +622,68 @@ def connected_components(
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component_id")
     )
+
+
+# ---- Bloom-filter incremental dedup -----------------------------------------
+#
+# The 100 TB incremental-crawl path: dedup TODAY's batch against the
+# WHOLE historical corpus without ever joining against it. The filter's
+# bit-set is bounded by k*m bits no matter how large the history is, so
+# the history-side scan aggregates to a constant-size artifact (built
+# once, reused every batch) and the batch side tests membership with k
+# broadcast joins — zero exchange on the batch data. False positives
+# (over-dropping) are the documented Bloom trade; false negatives are
+# impossible. Positions use md5 (available verbatim in DuckDB), so the
+# driver oracle simulates the identical filter bit-for-bit.
+
+
+def bloom_positions(col: Column | str, seed: int, m: int) -> Column:
+    """Bit position of `col` under hash-seed `seed`: the top 32 bits of
+    md5(value || '#seed'), mod m. Non-negative, so `%` agrees with SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    hex8 = F.substring(F.md5(F.concat(c, F.lit(f"#{seed}"))), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % m).alias(f"pos_{seed}")
+
+
+def bloom_bit_set(df: DataFrame, value_col: str = "text",
+                  m: int = 4096, k: int = 4) -> DataFrame:
+    """(seed, pos) set bits of a partitioned Bloom filter over
+    df[value_col] — one bit-array of m bits per seed (Kirsch-
+    Mitzenmacher partitioned variant; keeps the SQL oracle a plain
+    (seed, pos) equi-join). Scale: the output domain is bounded by k*m
+    rows regardless of corpus size, and distinct() partial-aggregates
+    map-side, so the exchange carries at most k*m rows at 100 TB."""
+    pos = F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 bloom_positions(value_col, s, m).alias("pos"))
+        for s in range(1, k + 1)
+    ])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(pos).alias("b"))
+        .select("b.seed", "b.pos")
+        .distinct()
+    )
+
+
+def bloom_membership(df: DataFrame, bits: DataFrame, value_col: str = "text",
+                     m: int = 4096, k: int = 4) -> DataFrame:
+    """Adds `bloom_hit` (1 = possibly-seen, 0 = definitely-new) to df by
+    probing all k bit positions with k BROADCAST joins against the
+    bounded `bits` set — the probe side never shuffles. `bits` must come
+    from :func:`bloom_bit_set` with the same (m, k)."""
+    out = df
+    for s in range(1, k + 1):
+        side = F.broadcast(
+            bits.filter(F.col("seed") == s)
+            .select(F.col("pos").alias(f"_bp{s}"),
+                    F.lit(1).alias(f"_bh{s}"))
+        )
+        out = out.withColumn(f"_bp{s}", bloom_positions(value_col, s, m))
+        out = out.join(side, f"_bp{s}", "left")
+    hit = F.lit(True)
+    for s in range(1, k + 1):
+        hit = hit & F.col(f"_bh{s}").isNotNull()
+    out = out.withColumn("bloom_hit", hit.cast("long"))
+    return out.drop(*[c for s in range(1, k + 1)
+                      for c in (f"_bp{s}", f"_bh{s}")])

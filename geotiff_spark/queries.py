@@ -818,6 +818,14 @@ TAIL_QUERIES = [
     # (both r04-green; the strengthened dedup-gate assertion runs
     # wherever the query runs, incl. the committed full-registry
     # self-run) take the tail to hold the window at 50.
+    # ROTATED OUT round 5 (second wave, r03-green, stable code since
+    # round 2): frees window slots for the three NEW round-5 queries
+    # (bloom_chunk_dedup, trigram_lm_score, pack_sequences), which must
+    # take driver rows their first round. First in line to rotate back
+    # in round 6 (r03 is then the older green round).
+    "median_price",
+    "train_split",
+    "dedup_keeper",
     "cell_assign",
     "stream_dedup_users",
     "pip_join",

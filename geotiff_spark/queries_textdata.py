@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geotiff_spark.operators import dedup, similarity, textstats
+from geotiff_spark.operators import dedup, packing, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -550,10 +550,10 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup_frame(_t(spark, sf_dir, "documents"))
 
 
-def chunk_dedup_frame(docs):
-    """Chunk-level exact dedup over any (doc_id, text) frame — the
-    engine core of :func:`q_chunk_dedup`, also benched directly over
-    the 2M-row synthetic pages corpus (bench.py)."""
+def chunks_frame(docs):
+    """(doc_id, pos, chunk): the deterministic 10-token chunker shared
+    by chunk_dedup and bloom_chunk_dedup — row-local JVM expressions,
+    no shuffle."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
     # guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty
@@ -564,9 +564,16 @@ def chunk_dedup_frame(docs):
             lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
         ),
     ).otherwise(F.array())
-    chunks = docs.select(
+    return docs.select(
         "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
     )
+
+
+def chunk_dedup_frame(docs):
+    """Chunk-level exact dedup over any (doc_id, text) frame — the
+    engine core of :func:`q_chunk_dedup`, also benched directly over
+    the 2M-row synthetic pages corpus (bench.py)."""
+    chunks = chunks_frame(docs)
     kept = (
         chunks.groupBy(F.md5("chunk").alias("digest"))
         .agg(F.min(F.struct("doc_id", "pos", "chunk")).alias("w"))
@@ -626,6 +633,247 @@ SELECT t.doc_id, t.n_chunks,
        COALESCE(r.n_kept, 0) AS n_kept,
        COALESCE(r.new_text, '') AS new_text
 FROM totals t LEFT JOIN reasm r ON r.doc_id = t.doc_id
+"""
+
+
+def q_bloom_chunk_dedup(spark, sf_dir):
+    """Bloom-filter INCREMENTAL chunk dedup — dedup a new crawl batch
+    against the whole historical corpus without joining against it.
+    Historical docs (doc_id % 5 != 0) populate a partitioned Bloom
+    filter over their 10-token chunks (k=4 md5-derived positions into
+    m=4096-bit arrays); the new batch (doc_id % 5 == 0) probes it and
+    reports, per doc, how many of its chunks were probably-seen. Scale
+    shape: the filter bit-set is bounded by k*m rows no matter how
+    large the history (built once per day, reused every batch), the
+    probe is k broadcast joins with zero exchange on the batch side,
+    and the only batch shuffle is the per-doc count aggregation. The
+    `n_seen_exact` column is gate instrumentation pinning the false-
+    positive semantics (4096-bit arrays on ~1.9k historical chunks run
+    at ~31% per-seed fill, so a few deterministic false positives are
+    EXPECTED and the oracle reproduces them bit-for-bit); the
+    production path returns the Bloom counts alone — broadcasting the
+    exact historical digest set is precisely what the filter replaces.
+    Bloom trade: over-drop (false positive) possible, under-drop
+    impossible."""
+    _BM, _BK = 4096, 4
+    docs = _t(spark, sf_dir, "documents")
+    hist_chunks = dedup.bloom_bit_set(
+        chunks_frame(docs.filter(F.col("doc_id") % 5 != 0)),
+        value_col="chunk", m=_BM, k=_BK,
+    )
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    probed = dedup.bloom_membership(
+        chunks_frame(new_docs), hist_chunks, value_col="chunk",
+        m=_BM, k=_BK,
+    )
+    hist_digests = (
+        chunks_frame(docs.filter(F.col("doc_id") % 5 != 0))
+        .select(F.md5("chunk").alias("digest")).distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    per_doc = (
+        probed.withColumn("digest", F.md5("chunk"))
+        .join(F.broadcast(hist_digests), "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("bloom_hit").alias("n_maybe_seen"),
+            F.sum(
+                F.when(F.col("_seen").isNotNull(), 1).otherwise(0)
+            ).alias("n_seen_exact"),
+        )
+    )
+    return new_docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_maybe_seen", F.lit(0)).alias("n_maybe_seen"),
+        F.coalesce("n_seen_exact", F.lit(0)).alias("n_seen_exact"),
+    )
+
+
+SQL_BLOOM_CHUNK_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(CEIL(len(tk) / 10.0) AS BIGINT))) AS u(i)
+),
+seeds AS (SELECT UNNEST(range(1, 5)) AS seed),
+hist_bits AS (
+  SELECT DISTINCT seed,
+         ('0x' || substring(md5(chunk || '#' || seed), 1, 8))::BIGINT
+           % 4096 AS pos
+  FROM chunks CROSS JOIN seeds WHERE doc_id % 5 <> 0
+),
+hist_digests AS (
+  SELECT DISTINCT md5(chunk) AS digest FROM chunks WHERE doc_id % 5 <> 0
+),
+new_probe AS (
+  SELECT c.doc_id, c.pos AS cpos, c.chunk, s.seed,
+         ('0x' || substring(md5(c.chunk || '#' || s.seed), 1, 8))::BIGINT
+           % 4096 AS bpos
+  FROM chunks c CROSS JOIN seeds s WHERE c.doc_id % 5 = 0
+),
+per_chunk AS (
+  SELECT n.doc_id, n.cpos,
+         MAX(n.chunk) AS chunk,
+         CASE WHEN COUNT(h.pos) = 4 THEN 1 ELSE 0 END AS bloom_hit
+  FROM new_probe n
+  LEFT JOIN hist_bits h ON h.seed = n.seed AND h.pos = n.bpos
+  GROUP BY n.doc_id, n.cpos
+),
+per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(p.bloom_hit) AS BIGINT) AS n_maybe_seen,
+         CAST(SUM(CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seen_exact
+  FROM per_chunk p
+  LEFT JOIN hist_digests d ON d.digest = md5(p.chunk)
+  GROUP BY p.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(pd.n_chunks, 0) AS n_chunks,
+       COALESCE(pd.n_maybe_seen, 0) AS n_maybe_seen,
+       COALESCE(pd.n_seen_exact, 0) AS n_seen_exact
+FROM documents doc LEFT JOIN per_doc pd ON pd.doc_id = doc.doc_id
+WHERE doc.doc_id % 5 = 0
+"""
+
+
+def q_trigram_lm_score(spark, sf_dir):
+    """Char-trigram language-model scoring (the CCNet/KenLM-style
+    perplexity quality filter, self-trained on the corpus): per doc,
+    the total add-one-smoothed log-probability of its character
+    trigrams under corpus-wide trigram/bigram counts. Cross-engine
+    float determinism BY CONSTRUCTION: all aggregations are exact
+    integers; the only float ops are one division, one ln and two
+    multiplies per (doc, trigram-type) row — identical libm doubles in
+    Spark and DuckDB (the proven tfidf pattern) — and each term is
+    quantized to integer MICRO-nats BEFORE the per-doc sum, so the sum
+    is order-independent and exact. Scale shape: trigram extraction is
+    row-local JVM codegen; the count tables live on a BOUNDED domain
+    (≤ charset³ ≈ low millions at web scale — broadcastable), so both
+    groupBys partial-aggregate map-side and both joins broadcast; the
+    per-doc aggregation is the only data-sized shuffle and carries
+    (doc_id, two longs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - F.lit(2)),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    tri_counts = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    big_counts = tri_counts.groupBy(
+        F.substring("g", 1, 2).alias("p")
+    ).agg(F.sum("c3").alias("c2"))
+    doc_tri = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_g"))
+    scored = (
+        doc_tri.join(F.broadcast(tri_counts), "g")
+        .withColumn("p", F.substring("g", 1, 2))
+        .join(F.broadcast(big_counts), "p")
+        .withColumn(
+            "term_micro",
+            F.round(
+                F.col("n_g")
+                * F.log((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.lit(96.0)))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("n_g").alias("n_trigrams"),
+        F.sum("term_micro").alias("logprob_micro"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("logprob_micro", F.lit(0)).alias("logprob_micro"),
+    )
+
+
+SQL_TRIGRAM_LM_SCORE = """
+WITH tri AS (
+  SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS g
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+  WHERE text IS NOT NULL AND length(text) >= 3
+),
+tric AS (SELECT g, COUNT(*) AS c3 FROM tri GROUP BY 1),
+bigc AS (
+  SELECT substring(g, 1, 2) AS p, CAST(SUM(c3) AS BIGINT) AS c2
+  FROM tric GROUP BY 1
+),
+doc_tri AS (SELECT doc_id, g, COUNT(*) AS n_g FROM tri GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, d.n_g,
+         CAST(ROUND(d.n_g * LN((t.c3 + 1.0) / (b.c2 + 96.0)) * 1000000.0)
+              AS BIGINT) AS term_micro
+  FROM doc_tri d
+  JOIN tric t USING (g)
+  JOIN bigc b ON b.p = substring(d.g, 1, 2)
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(n_g) AS BIGINT) AS n_trigrams,
+         CAST(SUM(term_micro) AS BIGINT) AS logprob_micro
+  FROM scored GROUP BY 1
+)
+SELECT doc.doc_id,
+       COALESCE(p.n_trigrams, 0) AS n_trigrams,
+       COALESCE(p.logprob_micro, 0) AS logprob_micro
+FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id
+WHERE doc.text IS NOT NULL
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 512-token context windows across 32
+    hash buckets (see operators/packing.py for the scale design). The
+    oracle reproduces the next-fit recurrence with a recursive CTE —
+    exact, because packing is a pure integer function of (doc_id,
+    n_tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        with_tokens, capacity=512, n_buckets=32
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE docs_t AS (
+  SELECT doc_id, doc_id % 32 AS bucket,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 32
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM docs_t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= 512
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= 512
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM pack p
+  JOIN docs_t d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, bin_id FROM pack
 """
 
 
@@ -1249,6 +1497,9 @@ def textdata_queries():
             q_embedding_near_dups_planted, SQL_EMBEDDING_NEAR_DUPS_PLANTED),
         "dedup_keeper": (q_dedup_keeper, SQL_DEDUP_KEEPER),
         "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+        "bloom_chunk_dedup": (q_bloom_chunk_dedup, SQL_BLOOM_CHUNK_DEDUP),
+        "trigram_lm_score": (q_trigram_lm_score, SQL_TRIGRAM_LM_SCORE),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "rep_signals": (q_rep_signals, SQL_REP_SIGNALS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

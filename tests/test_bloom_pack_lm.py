@@ -1,0 +1,139 @@
+"""Crafted-semantics tests for the round-5 pipeline operators:
+Bloom-filter incremental dedup, greedy sequence packing, and the
+char-trigram LM scorer. The sf0.01 driver oracle pins the full-corpus
+behavior; these pin the edge cases a 500-doc corpus may not hit."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_spark.operators import dedup, packing
+
+
+def _bloom_pos_py(value: str, seed: int, m: int) -> int:
+    """Reference positions: must equal the JVM expression exactly."""
+    h = hashlib.md5(f"{value}#{seed}".encode()).hexdigest()
+    return int(h[:8], 16) % m
+
+
+def test_bloom_positions_match_python_md5(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("",), ("ünïcode",)], ["text"]
+    )
+    out = df.select(
+        "text", *[dedup.bloom_positions("text", s, 4096) for s in (1, 2, 3)]
+    ).collect()
+    for row in out:
+        for s in (1, 2, 3):
+            assert row[f"pos_{s}"] == _bloom_pos_py(row["text"], s, 4096)
+
+
+def test_bloom_no_false_negatives_and_fp_is_possible(spark):
+    """Every historical value must hit (no false negatives — the Bloom
+    guarantee); with a deliberately tiny m, at least one unseen value
+    must false-positive, proving the filter actually compresses."""
+    hist_vals = [f"doc-{i}" for i in range(64)]
+    new_vals = hist_vals[:8] + [f"unseen-{i}" for i in range(256)]
+    hist = spark.createDataFrame([(v,) for v in hist_vals], ["text"])
+    new = spark.createDataFrame([(v,) for v in new_vals], ["text"])
+    m, k = 64, 2  # tiny on purpose: ~64% per-seed fill
+    bits = dedup.bloom_bit_set(hist, "text", m=m, k=k)
+    out = {
+        r["text"]: r["bloom_hit"]
+        for r in dedup.bloom_membership(new, bits, "text", m=m, k=k).collect()
+    }
+    assert all(out[v] == 1 for v in hist_vals[:8]), "false negative!"
+    unseen_hits = sum(out[f"unseen-{i}"] for i in range(256))
+    assert 0 < unseen_hits < 256, (
+        f"expected some (not all) false positives at m={m}, "
+        f"got {unseen_hits}/256"
+    )
+
+
+def test_bloom_bit_set_is_bounded_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,)], ["text"]
+    )
+    bits = dedup.bloom_bit_set(df, "text", m=16, k=3).collect()
+    assert len(bits) <= 2 * 3  # distinct values × seeds, minus collisions
+    assert all(0 <= r["pos"] < 16 and 1 <= r["seed"] <= 3 for r in bits)
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Next-fit greedy within one bucket: bins break exactly where the
+    running fill would exceed capacity; an oversized doc gets a bin of
+    its own without erroring."""
+    rows = [  # all doc_ids ≡ 0 (mod 8) → one bucket, ordered packing
+        (0, 300), (8, 200),          # 300+200=500 ≤ 512 → bin 0
+        (16, 100),                   # 500+100 > 512 → bin 1
+        (24, 9000),                  # oversized → bin 2 alone
+        (32, 512),                   # 9000+512 > 512 → bin 3 (exact fit)
+        (40, 1),                     # 512+1 > 512 → bin 4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = packing.pack_sequences(
+        df, capacity=512, n_buckets=8
+    ).orderBy("doc_id").collect()
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 2, 3, 4]
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pack_sequences_buckets_are_independent(spark):
+    rows = [(i, 256) for i in range(10)]  # 2 docs per bucket at n=5
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = packing.pack_sequences(df, capacity=512, n_buckets=5).collect()
+    # 256+256 = 512 fits → every bucket packs its two docs into bin 0
+    assert all(r["bin_id"] == 0 for r in out)
+    assert sorted(set(r["bucket"] for r in out)) == [0, 1, 2, 3, 4]
+
+
+def test_trigram_lm_score_matches_hand_computation(spark, tmp_path):
+    """Two tiny docs; trigram/bigram counts and the smoothed score are
+    small enough to compute by hand in Python floats (same libm)."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["ababa", "abab", "xy"],  # doc 2: too short → 0 trigrams
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [5, 4, 2],
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    from geotiff_spark.queries_textdata import q_trigram_lm_score
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["logprob_micro"])
+        for r in q_trigram_lm_score(spark, sf).collect()
+    }
+    # corpus trigrams: aba×2, bab×1 (doc0) + aba×1, bab×1 (doc1)
+    c3 = {"aba": 3, "bab": 2}
+    c2 = {"ab": 3, "ba": 2}
+    def term(g, n_g):
+        return round(n_g * math.log((c3[g] + 1.0) / (c2[g[:2]] + 96.0))
+                     * 1e6)
+    assert out[0] == (3, term("aba", 2) + term("bab", 1))
+    assert out[1] == (2, term("aba", 1) + term("bab", 1))
+    assert out[2] == (0, 0)
+
+
+def test_bloom_probe_plan_has_no_probe_side_exchange(spark):
+    """The k membership joins must all be broadcast: no Exchange may
+    appear on the probe side before the joins (the whole point of the
+    Bloom path is that the batch never shuffles to be filtered)."""
+    hist = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id")).alias("text"))
+    new = spark.range(100).select(
+        F.concat(F.lit("n"), F.col("id")).alias("text"))
+    bits = dedup.bloom_bit_set(hist, "text", m=256, k=4)
+    out = dedup.bloom_membership(new, bits, "text", m=256, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    # the only exchanges allowed are broadcast exchanges + the bounded
+    # bit-set distinct; no shuffle of the probe relation itself
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for args in shuffles:
+        assert "seed" in args or "pos" in args, (
+            f"unexpected probe-side shuffle on ({args}):\n{plan}"
+        )
