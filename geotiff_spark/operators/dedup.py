@@ -646,24 +646,33 @@ def bloom_positions(col: Column | str, seed: int, m: int) -> Column:
 
 
 def bloom_bit_set(df: DataFrame, value_col: str = "text",
-                  m: int = 4096, k: int = 4) -> DataFrame:
+                  m: int = 4096, k: int = 4,
+                  materialize: bool = True) -> DataFrame:
     """(seed, pos) set bits of a partitioned Bloom filter over
     df[value_col] — one bit-array of m bits per seed (Kirsch-
     Mitzenmacher partitioned variant; keeps the SQL oracle a plain
     (seed, pos) equi-join). Scale: the output domain is bounded by k*m
     rows regardless of corpus size, and distinct() partial-aggregates
-    map-side, so the exchange carries at most k*m rows at 100 TB."""
+    map-side, so the exchange carries at most k*m rows at 100 TB.
+
+    `materialize` (default True) localCheckpoints the bounded result so
+    the history is scanned ONCE — bloom_membership broadcasts the bit
+    set k times, and without materialization each broadcast would
+    re-run the full history scan (the build-once/probe-many contract is
+    the operator's whole point; production pipelines persist the bit
+    set to a table between batches)."""
     pos = F.array(*[
         F.struct(F.lit(s).alias("seed"),
                  bloom_positions(value_col, s, m).alias("pos"))
         for s in range(1, k + 1)
     ])
-    return (
+    bits = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.explode(pos).alias("b"))
         .select("b.seed", "b.pos")
         .distinct()
     )
+    return bits.localCheckpoint(eager=True) if materialize else bits
 
 
 def bloom_membership(df: DataFrame, bits: DataFrame, value_col: str = "text",
@@ -687,3 +696,61 @@ def bloom_membership(df: DataFrame, bits: DataFrame, value_col: str = "text",
     out = out.withColumn("bloom_hit", hit.cast("long"))
     return out.drop(*[c for s in range(1, k + 1)
                       for c in (f"_bp{s}", f"_bh{s}")])
+
+
+def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
+    """Collapse a (seed, pos) bit-set into k packed uint64 numpy arrays
+    (m/64 words each) — the LARGE-m artifact bloom_membership_packed
+    broadcasts. The word-keyed bit_or aggregation partial-aggregates
+    map-side, so the exchange and the driver collect are bounded by
+    k * m/64 rows (m = 2^26 → ≤ 4M rows ≈ 100 MB) regardless of
+    history size."""
+    words = (
+        bits.groupBy(
+            "seed", (F.col("pos") / 64).cast("long").alias("w")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pos % 64 AS INT)))"
+            ).alias("mask")
+        )
+        .toPandas()
+    )
+    packed = {s: np.zeros(m // 64 + 1, dtype=np.uint64)
+              for s in range(1, k + 1)}
+    for s, w, mask in words.itertuples(index=False, name=None):
+        # mask arrives as a signed BIGINT; bit 63 set → negative. Take
+        # the two's-complement bits explicitly (np.uint64(neg) is a
+        # deprecated wraparound).
+        packed[int(s)][int(w)] = np.uint64(int(mask) & 0xFFFFFFFFFFFFFFFF)
+    return packed
+
+
+def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
+                            value_col: str = "text",
+                            m: int = 4096, k: int = 4) -> DataFrame:
+    """Large-m probe path: identical `bloom_hit` semantics to
+    :func:`bloom_membership` (pytest pins equality), but the filter
+    travels as k packed uint64 bitmaps in ONE broadcast variable
+    (m = 2^30 → 128 MB/seed) instead of (seed, pos) join rows — the
+    join form's hashed relation stops being broadcastable around
+    ~10^7 set bits, which is exactly when a Bloom filter starts paying
+    for itself. Positions stay JVM-computed (md5 codegen); the bit test
+    is one vectorized Arrow batch pass, no shuffle anywhere."""
+    sc = df.sparkSession.sparkContext
+    bcast = sc.broadcast(packed)
+
+    @pandas_udf("long")
+    def _hit(*pos_series: pd.Series) -> pd.Series:
+        arrs = bcast.value
+        out = np.ones(len(pos_series[0]), dtype=bool)
+        for s, ps in enumerate(pos_series, start=1):
+            arr = arrs[s]
+            p = ps.to_numpy(dtype=np.int64)
+            out &= ((arr[p >> 6] >> np.uint64(0)) >>
+                    (p.astype(np.uint64) & np.uint64(63))) & np.uint64(1) == 1
+        return pd.Series(out.astype("int64"))
+
+    pos_cols = [bloom_positions(value_col, s, m) for s in range(1, k + 1)]
+    return df.withColumn("bloom_hit", _hit(*pos_cols))

@@ -117,6 +117,50 @@ def test_trigram_lm_score_matches_hand_computation(spark, tmp_path):
     assert out[2] == (0, 0)
 
 
+def test_bloom_packed_probe_equals_join_probe(spark):
+    """bloom_membership_packed (numpy-bitmap broadcast, the large-m
+    production path) must produce bit-identical `bloom_hit` to
+    bloom_membership (the (seed,pos) join form the SQL oracle mirrors)
+    on the same history — including false positives, which depend on
+    every set bit landing in the right word/offset of the packed
+    array."""
+    hist_vals = [f"doc-{i}" for i in range(64)]
+    new_vals = [f"doc-{i}" for i in range(16)] + \
+        [f"unseen-{i}" for i in range(256)]
+    hist = spark.createDataFrame([(v,) for v in hist_vals], ["text"])
+    new = spark.createDataFrame([(v,) for v in new_vals], ["text"])
+    m, k = 128, 3  # tiny m so false positives exercise the bit test
+    bits = dedup.bloom_bit_set(hist, "text", m=m, k=k)
+    via_join = {
+        r["text"]: r["bloom_hit"]
+        for r in dedup.bloom_membership(new, bits, "text", m=m, k=k).collect()
+    }
+    packed = dedup.bloom_pack(bits, m=m, k=k)
+    via_packed = {
+        r["text"]: r["bloom_hit"]
+        for r in dedup.bloom_membership_packed(
+            new, packed, "text", m=m, k=k).collect()
+    }
+    assert via_packed == via_join
+    assert sum(via_join[v] for v in hist_vals[:16]) == 16  # no false negs
+    assert 0 < sum(via_join[f"unseen-{i}"] for i in range(256)) < 256
+
+
+def test_bloom_packed_probe_plan_has_no_shuffle(spark):
+    """The packed probe is one ArrowEvalPython over JVM-computed
+    positions — no Exchange of any kind may appear in its plan."""
+    hist = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id")).alias("text"))
+    new = spark.range(50).select(
+        F.concat(F.lit("n"), F.col("id")).alias("text"))
+    bits = dedup.bloom_bit_set(hist, "text", m=256, k=4)
+    packed = dedup.bloom_pack(bits, m=256, k=4)
+    out = dedup.bloom_membership_packed(new, packed, "text", m=256, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
 def test_bloom_probe_plan_has_no_probe_side_exchange(spark):
     """The k membership joins must all be broadcast: no Exchange may
     appear on the probe side before the joins (the whole point of the
