@@ -745,6 +745,34 @@ WHERE doc.doc_id % 5 = 0
 """
 
 
+def bloom_incremental_frame(docs, m: int = 1 << 22, k: int = 4,
+                            hist_mod: int = 5):
+    """Production-shaped incremental chunk dedup over any (doc_id,
+    text) frame — the engine core of :func:`q_bloom_chunk_dedup` at
+    LARGE m, benched over the 2M-row synthetic pages corpus
+    (bench.py). History docs (doc_id % hist_mod != 0) build the
+    bounded (seed,pos) bit set once; it is collapsed to k packed
+    uint64 bitmaps (driver collect bounded by k*m/64 words — m=2^22 →
+    2 MB total) and broadcast to a single vectorized Arrow probe over
+    the new batch's chunks, so the batch side never shuffles to be
+    filtered and the history is never joined against. Returns per new
+    doc: (doc_id, n_chunks, n_maybe_seen)."""
+    hist = docs.filter(F.col("doc_id") % hist_mod != 0)
+    new_docs = docs.filter(F.col("doc_id") % hist_mod == 0)
+    bits = dedup.bloom_bit_set(
+        chunks_frame(hist), value_col="chunk", m=m, k=k)
+    packed = dedup.bloom_pack(bits, m=m, k=k)
+    probed = dedup.bloom_membership_packed(
+        chunks_frame(new_docs), packed, value_col="chunk", m=m, k=k)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("bloom_hit").alias("n_maybe_seen"),
+        )
+    )
+
+
 def q_trigram_lm_score(spark, sf_dir):
     """Char-trigram language-model scoring (the CCNet/KenLM-style
     perplexity quality filter, self-trained on the corpus): per doc,
