@@ -806,7 +806,21 @@ def streaming_queries() -> Registry:
 # tests/test_registry_order.py enforces this contract.
 DRIVER_WINDOW = 50
 
+# Queries born AFTER the round-5 window filled (every in-window slot is
+# pinned this round: the ≤2-round rotation mandates r05 rows for the 35
+# rotated-in entries, the gates/no-oracle/_exact groups are structural,
+# and the other round-5 newcomers need their first driver row). Allowed
+# in the tail ONLY because the committed current-round full-registry
+# self-run (BENCH/ORACLE_SELF_r05.txt) records them oracle-hash-green;
+# they are FIRST in line for the round-6 window rotation.
+# tests/test_registry_order.py caps this list at 3 and verifies the
+# self-run row exists.
+SELF_RUN_ONLY_NEW = [
+    "mixture_sample",
+]
+
 TAIL_QUERIES = [
+    *SELF_RUN_ONLY_NEW,
     # ROTATED OUT round 5 (hash-green in the r04 driver window; stable
     # code): frees window slots for the 21 r03-tailed entries and the
     # 14 r02-tailed relational fillers whose turn the ≤2-round rotation

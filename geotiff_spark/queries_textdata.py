@@ -202,6 +202,109 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic MIXTURE SAMPLING — the Dolma/Pile-style data-mixing
+    primitive: each language carries a target rate (en 1.5, de 1.0,
+    fr 0.7, es 0.4, zh 2.25, other 0.5); every doc independently keeps
+    floor(rate) full copies plus one more iff its hash bucket falls
+    under frac(rate), so the expected per-language volume is exactly
+    rate × input and the decision is reproducible across runs,
+    partitionings and engines (same pre-reduced Knuth-multiply hash as
+    train_split, different additive constant to decorrelate the two
+    samplers; rates as integer ×10000 so every comparison is exact
+    int64 arithmetic). Replicated epochs materialize via a row-local
+    explode — the shape a training pipeline feeds to its shuffler.
+    Scale: the sampling decision and replication are zero-shuffle
+    row-local codegen; the only exchanges are the two (source, lang)
+    aggregations over a bounded group domain. Output per (source,
+    lang): input docs, emitted rows (with upsampled epochs), distinct
+    surviving docs, emitted chars."""
+    docs = _t(spark, sf_dir, "documents")
+    rate10k = (
+        F.when(F.col("lang") == "en", F.lit(15000))
+        .when(F.col("lang") == "de", F.lit(10000))
+        .when(F.col("lang") == "fr", F.lit(7000))
+        .when(F.col("lang") == "es", F.lit(4000))
+        .when(F.col("lang") == "zh", F.lit(22500))
+        .otherwise(F.lit(5000))
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000_007)) * F.lit(2654435761)
+        + F.lit(23),
+        F.lit(10_000),
+    )
+    n_copies = (
+        F.floor(rate10k / F.lit(10_000)).cast("long")
+        + F.when(bucket < F.pmod(rate10k, F.lit(10_000)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    exploded = (
+        docs.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)  # sequence(1,0) would count DOWN
+        .select(
+            "source", "lang", "doc_id", "n_chars",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+    )
+    out_agg = exploded.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_out"),
+        F.countDistinct("doc_id").alias("n_unique_kept"),
+        F.sum("n_chars").alias("chars_out"),
+    )
+    in_agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in")
+    )
+    return in_agg.join(out_agg, ["source", "lang"], "left").select(
+        "source", "lang", "n_docs_in",
+        F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
+        F.coalesce("n_unique_kept", F.lit(0)).alias("n_unique_kept"),
+        F.coalesce("chars_out", F.lit(0)).alias("chars_out"),
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH rated AS (
+  SELECT source, lang, doc_id, n_chars,
+         CASE lang WHEN 'en' THEN 15000 WHEN 'de' THEN 10000
+                   WHEN 'fr' THEN 7000 WHEN 'es' THEN 4000
+                   WHEN 'zh' THEN 22500 ELSE 5000 END AS rate10k,
+         ((doc_id % 1000000007) * 2654435761 + 23) % 10000 AS bucket
+  FROM documents
+),
+copies AS (
+  SELECT source, lang, doc_id, n_chars,
+         rate10k // 10000
+           + CASE WHEN bucket < rate10k % 10000 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM rated
+),
+exploded AS (
+  SELECT c.source, c.lang, c.doc_id, c.n_chars
+  FROM copies c, UNNEST(range(1, c.n_copies + 1)) AS e(epoch)
+  WHERE c.n_copies > 0
+),
+outs AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs_out,
+         COUNT(DISTINCT doc_id) AS n_unique_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_out
+  FROM exploded GROUP BY source, lang
+),
+ins AS (
+  SELECT source, lang, COUNT(*) AS n_docs_in
+  FROM documents GROUP BY source, lang
+)
+SELECT i.source, i.lang, i.n_docs_in,
+       COALESCE(o.n_docs_out, 0) AS n_docs_out,
+       COALESCE(o.n_unique_kept, 0) AS n_unique_kept,
+       COALESCE(o.chars_out, 0) AS chars_out
+FROM ins i
+LEFT JOIN outs o ON o.source = i.source AND o.lang = i.lang
+"""
+
+
 def _corpus_curation(spark, sf_dir, exact_pairs: bool):
     """Shared curation pipeline: quality gate (length + token count) ->
     exact dedup (md5 keeper) -> near-dup collapse (connected components
@@ -1511,6 +1614,7 @@ def textdata_queries():
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+        "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -117,6 +117,56 @@ def test_trigram_lm_score_matches_hand_computation(spark, tmp_path):
     assert out[2] == (0, 0)
 
 
+def test_mixture_sample_rates_and_determinism(spark, tmp_path):
+    """Mixture sampling semantics: de (rate 1.0) keeps exactly one copy
+    of every doc; zh (rate 2.25) keeps 2 or 3 copies per doc; es
+    (rate 0.4) keeps 0 or 1; emitted rows per doc equal the closed-form
+    hash decision recomputed in Python; and the whole thing is
+    reproducible across two runs."""
+    docs = pd.DataFrame({
+        "doc_id": list(range(200)),
+        "text": ["w " * 5] * 200,
+        "lang": (["de", "zh", "es", "en"] * 50),
+        "source": ["s"] * 200,
+        "n_chars": [10] * 200,
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    from geotiff_spark.queries_textdata import q_mixture_sample
+
+    def expected_copies(doc_id, lang):
+        rate = {"de": 10000, "zh": 22500, "es": 4000, "en": 15000}[lang]
+        bucket = ((doc_id % 1_000_000_007) * 2654435761 + 23) % 10_000
+        return rate // 10_000 + (1 if bucket < rate % 10_000 else 0)
+
+    exp = {}
+    for _, r in docs.iterrows():
+        key = (r["source"], r["lang"])
+        c = expected_copies(r["doc_id"], r["lang"])
+        e = exp.setdefault(key, [0, 0, 0, 0])  # in, out, unique, chars
+        e[0] += 1
+        e[1] += c
+        e[2] += 1 if c > 0 else 0
+        e[3] += c * r["n_chars"]
+
+    got1 = {(r["source"], r["lang"]):
+            [r["n_docs_in"], r["n_docs_out"], r["n_unique_kept"],
+             r["chars_out"]]
+            for r in q_mixture_sample(spark, sf).collect()}
+    got2 = {(r["source"], r["lang"]):
+            [r["n_docs_in"], r["n_docs_out"], r["n_unique_kept"],
+             r["chars_out"]]
+            for r in q_mixture_sample(spark, sf).collect()}
+    assert got1 == {k: list(v) for k, v in exp.items()}
+    assert got1 == got2  # deterministic
+    # rate-1.0 language is a pass-through: out == in, all unique
+    de = got1[("s", "de")]
+    assert de[0] == de[1] == de[2] == 50
+    # rate-2.25: every doc at least twice
+    zh = got1[("s", "zh")]
+    assert zh[2] == 50 and 100 <= zh[1] <= 150
+
+
 def test_bloom_packed_probe_equals_join_probe(spark):
     """bloom_membership_packed (numpy-bitmap broadcast, the large-m
     production path) must produce bit-identical `bloom_hit` to

