@@ -50,6 +50,32 @@ def ensure_pages(spark, tag: str, n_pages: int) -> str:
     return path
 
 
+def force_all(df) -> int:
+    """Force FULL evaluation of every output column and return the row
+    count. A bare .count() lets Catalyst prune value columns and
+    eliminate outer/aggregate-keyed joins whose columns go unused —
+    round 5 caught it erasing the ENTIRE expensive branch of several
+    operators (rep_signals' per-doc top-gram join, chunk_dedup's
+    first-occurrence aggregate, the cell-encode / raster-gather /
+    bloom-probe pandas UDFs), so those bench walls measured the
+    optimizer's dead-code elimination, not the operator. Summing an
+    xxhash64 over all columns makes every column — and therefore every
+    join branch and Python stage — observable."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: order-independent AND overflow-free under
+        # ANSI mode (sum(xxhash64) trips ARITHMETIC_OVERFLOW)
+        F.expr(
+            "bit_xor(xxhash64("
+            + ", ".join(f"`{c}`" for c in df.columns)
+            + "))"
+        ).alias("cks"),
+    ).collect()[0]
+    return row["n"]
+
+
 def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
                   res: int = 7):
     """name -> zero-arg callable returning a row count (forces execution)."""
@@ -124,7 +150,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         pages = spark.read.parquet(bign_path).select(
             F.xxhash64("url").alias("doc_id"), "text"
         )
-        return chunk_dedup_frame(pages).count()
+        return force_all(chunk_dedup_frame(pages))
 
     def rep_signals_pages2m():
         from geotiff_spark.queries_textdata import rep_signals_frame
@@ -132,7 +158,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         pages = spark.read.parquet(bign_path).select(
             F.xxhash64("url").alias("doc_id"), "text"
         )
-        return rep_signals_frame(pages).count()
+        return force_all(rep_signals_frame(pages))
 
     def bloom_dedup_pages2m():
         """Round-5: incremental Bloom dedup at realistic volume — 1.6M
@@ -145,7 +171,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         pages = spark.read.parquet(bign_path).select(
             F.xxhash64("url").alias("doc_id"), "text"
         )
-        return bloom_incremental_frame(pages).count()
+        return force_all(bloom_incremental_frame(pages))
 
     out = {
         "pages_e2e": pages_e2e,
@@ -158,7 +184,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
     }
     for name in picks + ["embedding_near_dups"]:
         fn, _sql = reg[name]
-        out[name] = (lambda f=fn: f(spark, sf_dir).count())
+        out[name] = (lambda f=fn: force_all(f(spark, sf_dir)))
     return out
 
 
@@ -199,16 +225,16 @@ COMMITTED_BANDS = {
     "quality_features": 0.7,
     "embedding_near_dups_planted": 11.0,
     "embedding_near_dups": 40.0,
-    # round-5 additions, measured on the 2M-row pages corpus: chunk
-    # dedup ~100k pages/s (17-21s); rep signals measured 1.1s warm /
-    # ~11s on a cold page cache — the low band forces re-runs past the
-    # cold read instead of accepting a burst
-    "chunk_dedup_pages2m": 26.0,
-    "rep_signals_pages2m": 5.0,
-    # measured 21.6s end-to-end at 2M pages: build 17.7s (once per
-    # history update) + pack/collect 5.5s + probe 1.8-3.6s — the probe
-    # is the per-batch steady-state cost (~220k pages/s)
-    "bloom_dedup_pages2m": 27.0,
+    # round-5 additions, measured on the 2M-row pages corpus with
+    # force_all (the earlier .count() readings measured Catalyst's
+    # join elimination, not the operators): chunk dedup 4.9s best
+    # (~400k pages/s through two full-text shuffles), rep signals
+    # 12.1s best after the row-local top-gram rewrite (~165k pages/s,
+    # zero shuffle), bloom incremental dedup 28.1s end-to-end (build
+    # once + packed probe)
+    "chunk_dedup_pages2m": 8.0,
+    "rep_signals_pages2m": 15.0,
+    "bloom_dedup_pages2m": 34.0,
 }
 
 

@@ -1034,38 +1034,54 @@ def rep_signals_frame(docs):
             ),
         ).otherwise(F.array())
 
+    # The most-frequent-bigram count is ROW-LOCAL: every gram of a doc
+    # lives in that doc's own array, so sort the array and take the
+    # longest equal-run — one JVM codegen expression, ZERO shuffle.
+    # (The original explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
+    # form moved ~40 grams/page through two exchanges and a join:
+    # ~290 s at 2M pages vs ~12 s for this, same oracle.)
+    def top_run(arr):
+        return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
+            F.aggregate(
+                F.array_sort(arr),
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc.prev, acc.run + 1)
+                    .otherwise(F.lit(1)).alias("run"),
+                    F.greatest(
+                        acc.best,
+                        F.when(x == acc.prev, acc.run + 1)
+                        .otherwise(F.lit(1)),
+                    ).alias("best"),
+                ),
+                lambda acc: acc.best,
+            )
+        )
+
     base = docs.select(
         "doc_id",
         F.size(grams(2)).alias("n_2g"),
         F.size(F.array_distinct(grams(2))).alias("d_2g"),
         F.size(grams(3)).alias("n_3g"),
         F.size(F.array_distinct(grams(3))).alias("d_3g"),
-        grams(2).alias("g2"),
+        top_run(grams(2)).alias("top_c"),
     )
-    top = (
-        base.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
-    )
-    return (
-        base.drop("g2")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                F.lit(1.0) - F.col("d_2g") / F.greatest("n_2g", F.lit(1)), 6
-            ).alias("dup_2gram_frac"),
-            F.round(
-                F.lit(1.0) - F.col("d_3g") / F.greatest("n_3g", F.lit(1)), 6
-            ).alias("dup_3gram_frac"),
-            F.round(
-                F.coalesce(F.col("top_c"), F.lit(0))
-                / F.greatest("n_2g", F.lit(1)),
-                6,
-            ).alias("top_2gram_frac"),
-        )
+    return base.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.col("d_2g") / F.greatest("n_2g", F.lit(1)), 6
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.lit(1.0) - F.col("d_3g") / F.greatest("n_3g", F.lit(1)), 6
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.col("top_c") / F.greatest("n_2g", F.lit(1)), 6
+        ).alias("top_2gram_frac"),
     )
 
 
