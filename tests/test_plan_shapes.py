@@ -148,3 +148,54 @@ def test_embedding_verify_stage_single_python_eval(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(lsh_near_dup_pairs(emb, threshold=0.4))
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_rep_signals_plan_is_pure_scan(spark):
+    """Round-5 rewrite: every repetition signal (gram counts, distinct
+    fractions, AND the most-frequent-bigram count) is computed inside
+    the doc's own row via array expressions — the plan must contain no
+    Exchange, no Join and no Generate (the pre-rewrite explode →
+    groupBy(doc,gram) → groupBy(doc) → join form cost ~290 s at 2M
+    pages once measurement pruning was fixed; the row-local form costs
+    ~12 s — BENCH/BASELINE.md round-5 measurement fix)."""
+    from geotiff_spark.queries_textdata import rep_signals_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # force every output column observable, as bench.py force_all does —
+    # an unforced plan could hide work behind the very pruning the
+    # rewrite removed
+    out = rep_signals_frame(docs.select("doc_id", "text")).select(
+        F.expr("bit_xor(xxhash64(doc_id, dup_2gram_frac, "
+               "dup_3gram_frac, top_2gram_frac))")
+    )
+    plan = _plan(out)
+    # the forcing bit_xor adds its own SinglePartition gather; the pin
+    # is that no DATA exchange (hash partitioning) exists anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_rep_signals_top_gram_run_length_semantics(spark):
+    """Hand-checked top-gram counts through the sorted-run-length
+    aggregate: 'a b a b a' has bigrams [a b, b a, a b, b a] → top 2;
+    a one-token doc has zero bigrams → top frac 0 and dup frac 1.0
+    (the registry formula 1 - d/greatest(n,1) with d=n=0 — pinned by
+    the DuckDB oracle since round 4); a doc of one
+    repeated token is pure duplication → dup fracs 1 - 1/n, top frac
+    (n-1)/(n-1) = 1."""
+    import pandas as pd
+
+    from geotiff_spark.queries_textdata import rep_signals_frame
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b a", "solo", "x x x x x x"],
+    }))
+    got = {r["doc_id"]: r for r in rep_signals_frame(docs).collect()}
+    assert got[0]["top_2gram_frac"] == 0.5  # 2 of 4 bigrams
+    assert got[0]["dup_2gram_frac"] == 0.5  # 2 distinct of 4
+    assert got[1]["top_2gram_frac"] == 0.0
+    assert got[1]["dup_2gram_frac"] == 1.0
+    assert got[2]["top_2gram_frac"] == 1.0  # 'x x' × 5
+    assert got[2]["dup_2gram_frac"] == 0.8  # 1 distinct of 5
