@@ -675,36 +675,57 @@ def chunks_frame(docs):
 def chunk_dedup_frame(docs):
     """Chunk-level exact dedup over any (doc_id, text) frame — the
     engine core of :func:`q_chunk_dedup`, also benched directly over
-    the 2M-row synthetic pages corpus (bench.py)."""
-    chunks = chunks_frame(docs)
-    kept = (
-        chunks.groupBy(F.md5("chunk").alias("digest"))
-        .agg(F.min(F.struct("doc_id", "pos", "chunk")).alias("w"))
-        .select("w.doc_id", "w.pos", "w.chunk")
+    the 2M-row synthetic pages corpus (bench.py).
+
+    Decision-plane / data-plane split (round-5 rewrite): the dedup
+    DECISION shuffles only fixed-width values — (digest, doc_id, pos)
+    triples through the partial-aggregatable first-occurrence min and
+    one per-doc aggregation of the surviving positions — and the TEXT
+    moves exactly once, in the
+    final doc_id join that re-chunks each winning doc row-locally and
+    keeps the marked positions. The previous form shipped full chunk
+    text through BOTH the digest exchange and the reassembly exchange
+    (~2.2× the corpus bytes on the wire vs ~1× plus narrow triples
+    now); on one box that made the operator memory-bus-bound (N→4N
+    efficiency 0.70 pre-rewrite — BENCH/BASELINE.md text-op scaling)."""
+    trip = chunks_frame(docs).select(
+        F.md5("chunk").alias("digest"), "doc_id", "pos"
     )
+    # the per-digest winners ARE the kept set — collect each doc's
+    # surviving positions straight off the first-occurrence min, no
+    # join back against the chunk stream needed
+    keep = (
+        trip.groupBy("digest")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .groupBy(F.col("w.doc_id").alias("doc_id"))
+        .agg(F.sort_array(F.collect_list("w.pos")).alias("keep_pos"))
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    # n_chunks is row-local (ceil(tokens/10)) — no second chunk scan;
+    # zero-chunk docs are excluded, matching the oracle's totals CTE
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.concat_ws(
-                " ", F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "chunk"))
-                    ),
-                    lambda s: s.chunk,
-                )
-            ).alias("new_text"),
+        docs.withColumn(
+            "n_chunks", F.ceil(F.size(toks) / F.lit(10)).cast("long")
         )
-        .join(
-            chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks")),
-            "doc_id",
-            "right",
-        )
+        .filter(F.col("n_chunks") > 0)
+        .join(keep, "doc_id", "left")
         .select(
             "doc_id",
             "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("new_text", F.lit("")).alias("new_text"),
+            F.coalesce(F.size("keep_pos"), F.lit(0)).alias("n_kept"),
+            F.when(
+                F.col("keep_pos").isNull(), F.lit("")
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        "keep_pos",
+                        lambda p: F.concat_ws(
+                            " ", F.slice(toks, p * 10 + 1, 10)
+                        ),
+                    ),
+                )
+            ).alias("new_text"),
         )
     )
 

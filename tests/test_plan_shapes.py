@@ -129,9 +129,16 @@ def test_chunk_dedup_first_occurrence_is_partial_aggregatable(spark):
     # partial_min appears later (deeper) in the tree string
     lines = plan.splitlines()
     digest_exchanges = [i for i, l in enumerate(lines)
-                        if "Exchange hashpartitioning(_groupingexpression" in l]
+                        if "Exchange hashpartitioning(digest" in l
+                        or "Exchange hashpartitioning(_groupingexpression" in l]
     assert digest_exchanges, plan
     assert any("partial_min" in l for l in lines[digest_exchanges[0]:]), plan
+    # round-5 decision/data-plane split: the first-occurrence min must
+    # aggregate (doc_id, pos) ONLY — chunk text never rides the digest
+    # exchange (it moves once, in the final doc_id join)
+    for l in lines:
+        if "partial_min" in l:
+            assert "chunk" not in l, l
 
 
 def test_embedding_verify_stage_single_python_eval(spark):
