@@ -142,8 +142,8 @@ These two jobs carry REAL exchanges — the pages-e2e headline is map-only
 
 | job | local[{args.small}] (N) | local[{args.big}] (4N) | pages/s at N -> 4N | efficiency |
 |---|---|---|---|---|
-| chunk_dedup (chunk+md5 -> partial-agg min(struct) exchange -> reassembly agg) | {small['chunk_dedup_sec']} s | {big['chunk_dedup_sec']} s | {n/small['chunk_dedup_sec']:,.0f} -> {n/big['chunk_dedup_sec']:,.0f} | **{eff['chunk_dedup_sec']:.2f}** |
-| rep_signals (row-local n-grams -> one (doc,gram) agg) | {small['rep_signals_sec']} s | {big['rep_signals_sec']} s | {n/small['rep_signals_sec']:,.0f} -> {n/big['rep_signals_sec']:,.0f} | **{eff['rep_signals_sec']:.2f}** |
+| chunk_dedup (int-only decision shuffles: digest min + per-doc pos agg; text moves once in the final doc join) | {small['chunk_dedup_sec']} s | {big['chunk_dedup_sec']} s | {n/small['chunk_dedup_sec']:,.0f} -> {n/big['chunk_dedup_sec']:,.0f} | **{eff['chunk_dedup_sec']:.2f}** |
+| rep_signals (fully row-local: array n-grams + sorted-run-length top gram, zero shuffle) | {small['rep_signals_sec']} s | {big['rep_signals_sec']} s | {n/small['rep_signals_sec']:,.0f} -> {n/big['rep_signals_sec']:,.0f} | **{eff['rep_signals_sec']:.2f}** |
 """
     path = f"{REPO}/BENCH/BASELINE.md"
     BEGIN, END = "<!-- TEXT-SCALING:BEGIN -->", "<!-- TEXT-SCALING:END -->"
