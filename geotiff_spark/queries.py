@@ -817,6 +817,7 @@ DRIVER_WINDOW = 50
 # self-run row exists.
 SELF_RUN_ONLY_NEW = [
     "mixture_sample",
+    "url_canonical_dedup",
 ]
 
 TAIL_QUERIES = [

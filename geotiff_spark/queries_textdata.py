@@ -1161,6 +1161,100 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the crawl-frontier primitive: URLs that
+    differ only by scheme, host case, a `www.` prefix, a trailing
+    slash, a fragment, or tracking query params (`utm_*`) are the same
+    resource; canonicalize and keep the first crawl (min doc_id). The
+    test tables carry no URL column, so six deterministic variants are
+    constructed per doc from (source, doc_id) — exercising every
+    canonicalization rule — and the oracle mirrors the construction.
+    Canonicalization is a row-local JVM regexp chain (host extracted
+    and lowercased separately so PATH case is preserved — lower() on
+    the whole URL would be wrong); patterns are dialect-portable
+    (Java regex vs RE2, the pii_scrub precedent; DuckDB side uses the
+    'g' flag to match Spark's replace-all). Scale: zero-shuffle
+    canonicalization + one canonical-keyed partial-aggregatable
+    groupBy; at 10^12 URLs the exchange carries one (canonical,
+    min-keeper, count) record per distinct resource per map task."""
+    docs = _t(spark, sf_dir, "documents")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    page = F.concat(
+        F.lit("/page-"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+    )
+    host_lc = F.concat(F.col("source"), F.lit(".example.com"))
+    host_uc = F.upper(host_lc)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), host_lc, page))
+        .when(v == 1, F.concat(F.lit("http://"), host_lc, page))
+        .when(v == 2, F.concat(F.lit("https://"), host_uc, page,
+                               F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://www."), host_lc, page,
+                               F.lit("?utm_source=feed")))
+        .when(v == 4, F.concat(F.lit("https://"), host_lc, page,
+                               F.lit("#section-2")))
+        .otherwise(F.concat(F.lit("https://www."), host_lc, page,
+                            F.lit("?id=7")))
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]*)", 1)),
+        r"^www\.", "",
+    )
+    pq = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*([^#]*)", 1)
+    pq = F.regexp_replace(pq, r"utm_[a-z_]+=[^&#]*&?", "")
+    pq = F.regexp_replace(pq, r"[?&]$", "")
+    pq = F.regexp_replace(pq, r"/$", "")
+    canon = F.concat(host, pq)
+    return (
+        docs.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'https://www.' || source || '.example.com/page-'
+                       || (doc_id % 40)
+           WHEN 1 THEN 'http://' || source || '.example.com/page-'
+                       || (doc_id % 40)
+           WHEN 2 THEN 'https://' || UPPER(source || '.example.com')
+                       || '/page-' || (doc_id % 40) || '/'
+           WHEN 3 THEN 'https://www.' || source || '.example.com/page-'
+                       || (doc_id % 40) || '?utm_source=feed'
+           WHEN 4 THEN 'https://' || source || '.example.com/page-'
+                       || (doc_id % 40) || '#section-2'
+           ELSE 'https://www.' || source || '.example.com/page-'
+                || (doc_id % 40) || '?id=7'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           LOWER(regexp_extract(url, '^[a-zA-Z]+://([^/?#]*)', 1)),
+           '^www\.', '')
+         || regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^#]*)', 1),
+                  'utm_[a-z_]+=[^&#]*&?', '', 'g'),
+                '[?&]$', '', 'g'),
+              '/$', '', 'g') AS canonical_url
+  FROM urls
+)
+SELECT canonical_url, COUNT(*) AS n_variants,
+       MIN(doc_id) AS keeper_doc
+FROM canon GROUP BY canonical_url
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-language top-10 terms by corpus TF-IDF — the term-weighting
     primitive of corpus analysis / quality filtering. Cross-engine float
@@ -1652,6 +1746,7 @@ def textdata_queries():
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+        "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
         "simhash_pairs": (q_simhash_pairs, None),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -167,6 +167,30 @@ def test_mixture_sample_rates_and_determinism(spark, tmp_path):
     assert zh[2] == 50 and 100 <= zh[1] <= 150
 
 
+def test_url_canonical_dedup_rules(spark, tmp_path):
+    """Every canonicalization rule collapses its variant: doc_ids
+    {0,40,80,120,160,200} share page bucket 0 (doc_id % 40) across
+    variants {https+www, fragment, uppercase-host+trailing-slash}
+    (doc_id % 6 in {0,4,2}) → ONE canonical with 6 variants, keeper 0;
+    {3,43} pair utm-tracking with bare-http → one canonical, keeper 3;
+    doc_id 5 carries a REAL query param (?id=7) that must survive as
+    its own resource."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 40, 80, 120, 160, 200, 3, 43, 5],
+        "text": ["t"] * 9, "lang": ["en"] * 9, "source": ["s"] * 9,
+        "n_chars": [1] * 9,
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    from geotiff_spark.queries_textdata import q_url_canonical_dedup
+    got = {r["canonical_url"]: (r["n_variants"], r["keeper_doc"])
+           for r in q_url_canonical_dedup(spark, sf).collect()}
+    assert got["s.example.com/page-0"] == (6, 0)
+    assert got["s.example.com/page-3"] == (2, 3)
+    assert got["s.example.com/page-5?id=7"] == (1, 5)
+    assert len(got) == 3
+
+
 def test_bloom_packed_probe_equals_join_probe(spark):
     """bloom_membership_packed (numpy-bitmap broadcast, the large-m
     production path) must produce bit-identical `bloom_hit` to
