@@ -206,3 +206,15 @@ def test_rep_signals_top_gram_run_length_semantics(spark):
     assert got[1]["dup_2gram_frac"] == 1.0
     assert got[2]["top_2gram_frac"] == 1.0  # 'x x' × 5
     assert got[2]["dup_2gram_frac"] == 0.8  # 1 distinct of 5
+
+
+def test_url_canonical_dedup_single_exchange(spark):
+    """Canonicalization is row-local codegen; the only data exchange is
+    the canonical-keyed aggregation (partial-aggregatable, so hot
+    resources collapse map-side before the wire)."""
+    from geotiff_spark.queries_textdata import q_url_canonical_dedup
+
+    plan = _plan(q_url_canonical_dedup(spark, SF))
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
