@@ -158,6 +158,26 @@ def shingles_df(
     )
 
 
+def _base_hash_expr(s: Column, hash_mode: str) -> Column:
+    """64-bit base hash of a string Column, JVM-side.
+
+    - "xxhash64" (default): the fast production path.
+    - "md5": the top 64 bits of md5, parsed as a SIGNED long via
+      conv(hex, 16, -10) — bit-identical to DuckDB's
+      ('0x' || substr(md5(s), 1, 16))::UBIGINT reinterpreted signed, so
+      a SQL oracle can replay every signature (and therefore every LSH
+      bucket, candidate pair, and verified output row) bit-for-bit. Same
+      trick that made bloom_chunk_dedup oracle-exact (bloom_positions).
+      ~2x the hash cost of xxhash64 — keep it for oracle-gated queries,
+      not the bench path.
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(s)
+    if hash_mode == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 16), 16, -10).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic multiply-shift hash family: odd multipliers + offsets
     derived from splitmix64 of the hash index."""
@@ -180,6 +200,7 @@ def minhash_signatures(
     text: str = "text",
     key: str = "doc_id",
     shingle: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(key, sigs: array<long>) MinHash signatures with ZERO shuffle.
 
@@ -236,7 +257,10 @@ def minhash_signatures(
     # references the materialized column and the plan holds exactly ONE
     # ArrowEvalPython (pinned by test_plan_shapes).
     df = _ensure_map_parallelism(df)
-    base = F.transform(_shingle_array(text, shingle), lambda s: F.xxhash64(s))
+    base = F.transform(
+        _shingle_array(text, shingle),
+        lambda s: _base_hash_expr(s, hash_mode),
+    )
     return (
         df.select(F.col(key), sigs_udf.asNondeterministic()(base).alias("sigs"))
         .filter(F.col("sigs").isNotNull())
@@ -341,6 +365,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     shingle: int = 3,
     max_inline_bucket: int = 256,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash over n-token shingles,
     optionally verified with exact token jaccard (verification only
@@ -354,7 +379,7 @@ def minhash_lsh_pairs(
     registry queries use (verified pair set == the exact jaccard pair set
     on the test corpora)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text, key, shingle)
+    sigs = minhash_signatures(df, num_hashes, text, key, shingle, hash_mode)
     # band hash = xxhash64 of the band's signature slice (hashing the
     # array directly — identical sig slices collide, which is the LSH
     # semantics; `sigs` is a materialized column so slices are cheap)
@@ -400,7 +425,8 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text: str = "text", key: str = "doc_id"
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document with ZERO shuffle: the signature is
     row-local, so no explode/collect_list round trip — the distinct-token
@@ -452,7 +478,7 @@ def simhash_signatures(
     toks = F.array_distinct(
         F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _base_hash_expr(t, hash_mode))
     return (
         df.select(F.col(key), fold.asNondeterministic()(hashes).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
@@ -464,13 +490,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     text: str = "text",
     key: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
     pigeonhole trick: split 64 bits into (max_hamming+1) segments — any
     pair within distance shares at least one exact segment → equi-join on
     (segment_id, segment_bits), then exact popcount filter."""
     return simhash_pairs_from_sigs(
-        simhash_signatures(df, text, key), max_hamming, key
+        simhash_signatures(df, text, key, hash_mode), max_hamming, key
     )
 
 
@@ -647,7 +674,8 @@ def bloom_positions(col: Column | str, seed: int, m: int) -> Column:
 
 def bloom_bit_set(df: DataFrame, value_col: str = "text",
                   m: int = 4096, k: int = 4,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool = True,
+                  distinct: bool = True) -> DataFrame:
     """(seed, pos) set bits of a partitioned Bloom filter over
     df[value_col] — one bit-array of m bits per seed (Kirsch-
     Mitzenmacher partitioned variant; keeps the SQL oracle a plain
@@ -670,8 +698,14 @@ def bloom_bit_set(df: DataFrame, value_col: str = "text",
         df.filter(F.col(value_col).isNotNull())
         .select(F.explode(pos).alias("b"))
         .select("b.seed", "b.pos")
-        .distinct()
     )
+    # distinct=True is required for the (seed, pos) JOIN probe
+    # (bloom_membership multiplies matches); bloom_pack's bit_or is
+    # idempotent, so the packed path passes distinct=False and skips a
+    # corpus-sized exchange — the word groupBy partial-aggregates
+    # map-side and its exchange carries at most k*m/64 rows.
+    if distinct:
+        bits = bits.distinct()
     return bits.localCheckpoint(eager=True) if materialize else bits
 
 
@@ -681,6 +715,13 @@ def bloom_membership(df: DataFrame, bits: DataFrame, value_col: str = "text",
     probing all k bit positions with k BROADCAST joins against the
     bounded `bits` set — the probe side never shuffles. `bits` must come
     from :func:`bloom_bit_set` with the same (m, k)."""
+    clash = [c for c in df.columns
+             if c.startswith("_bp") or c.startswith("_bh")]
+    if clash:
+        raise ValueError(
+            f"bloom_membership uses helper columns _bp1.._bp{k} / "
+            f"_bh1.._bh{k}; input already has {clash} — rename them first"
+        )
     out = df
     for s in range(1, k + 1):
         side = F.broadcast(
@@ -727,6 +768,32 @@ def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
     return packed
 
 
+# One broadcast per packed filter, not per probe call: the intended
+# build-once/probe-every-batch loop would otherwise accumulate a fresh
+# (up to ~128 MB/seed) broadcast on driver and executors per batch
+# (ADVICE r05). Keyed by id() with the packed dict strongly referenced,
+# so the id cannot be recycled while the cache entry lives; retire a
+# filter explicitly with bloom_broadcast_destroy.
+_PACKED_BCASTS: dict[int, tuple[dict, "object"]] = {}
+
+
+def _packed_broadcast(sc, packed: dict[int, np.ndarray]):
+    entry = _PACKED_BCASTS.get(id(packed))
+    if entry is not None and entry[0] is packed:
+        return entry[1]
+    bcast = sc.broadcast(packed)
+    _PACKED_BCASTS[id(packed)] = (packed, bcast)
+    return bcast
+
+
+def bloom_broadcast_destroy(packed: dict[int, np.ndarray]) -> None:
+    """Release the cached broadcast for a retired filter (frees the
+    bitmap copy on driver and executors)."""
+    entry = _PACKED_BCASTS.pop(id(packed), None)
+    if entry is not None:
+        entry[1].destroy()
+
+
 def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
                             value_col: str = "text",
                             m: int = 4096, k: int = 4) -> DataFrame:
@@ -737,9 +804,11 @@ def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
     join form's hashed relation stops being broadcastable around
     ~10^7 set bits, which is exactly when a Bloom filter starts paying
     for itself. Positions stay JVM-computed (md5 codegen); the bit test
-    is one vectorized Arrow batch pass, no shuffle anywhere."""
+    is one vectorized Arrow batch pass, no shuffle anywhere. The
+    broadcast is memoized per `packed` (probe-every-batch reuses it);
+    call :func:`bloom_broadcast_destroy` when the filter is retired."""
     sc = df.sparkSession.sparkContext
-    bcast = sc.broadcast(packed)
+    bcast = _packed_broadcast(sc, packed)
 
     @pandas_udf("long")
     def _hit(*pos_series: pd.Series) -> pd.Series:

@@ -126,23 +126,71 @@ def brute_force_topk(
     )
 
 
-def bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 1337):
+def md5_planes(dim: int, n_total: int) -> np.ndarray:
+    """(dim, n_total) hyperplane matrix with every weight derived from
+    md5 so a SQL oracle reproduces it bit-for-bit:
+
+        w[d, j] = uint64(md5(f"plane:{j}:{d}")[:16 hex]) / 2**64 - 0.5
+
+    DuckDB twin: ('0x' || substr(md5('plane:'||j||':'||d), 1, 16))
+    ::UBIGINT::DOUBLE / 18446744073709551616.0 - 0.5 — the uint→double
+    cast rounds to nearest and the 2**64 division is an exact exponent
+    shift in both engines, so the doubles are identical. Uniform(-.5,.5)
+    instead of Gaussian: sign-LSH only needs a symmetric direction
+    distribution, and the recall gate (ann_recall) measures the outcome
+    either way."""
+    import hashlib
+
+    w = np.empty((dim, n_total), dtype=np.float64)
+    for j in range(n_total):
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[:16]
+            w[d, j] = int(h, 16) / 2**64 - 0.5
+    return w
+
+
+def _seq_matmul(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """mat @ planes with a LEFT-TO-RIGHT fold over the shared dim —
+    bit-identical to DuckDB's list_dot_product (verified sequential) and
+    to an explicit SQL addition chain, unlike BLAS matmul whose blocked
+    summation reorders the adds. Vectorized over rows and planes, so the
+    only Python loop is the (small) embedding dimension."""
+    acc = mat[:, 0:1] * planes[0:1, :]
+    for d in range(1, mat.shape[1]):
+        acc = acc + mat[:, d : d + 1] * planes[d : d + 1, :]
+    return acc
+
+
+def bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 1337,
+               plane_mode: str = "gaussian"):
     """Sign-LSH buckets for all tables in one Arrow-batched pandas UDF:
-    one (dim x n_planes*n_tables) seeded-Gaussian matmul per batch.
-    Deterministic (fixed seed), no stored model — returns the per-table
-    bucket array for one explode + equi-join."""
-    planes = (
-        np.random.default_rng(seed)
-        .standard_normal((dim, n_planes * n_tables))
-        .astype(np.float64)
-    )
+    one (dim x n_planes*n_tables) matmul per batch. Deterministic (fixed
+    seed), no stored model — returns the per-table bucket array for one
+    explode + equi-join.
+
+    plane_mode="gaussian" (default) is the production path (seeded
+    Gaussian planes, BLAS matmul). plane_mode="md5" derives the planes
+    from md5 and folds the dot products sequentially so a DuckDB oracle
+    replays every bucket — and therefore every candidate and output row —
+    exactly (see md5_planes); use it for oracle-gated registry queries."""
+    if plane_mode == "md5":
+        planes = md5_planes(dim, n_planes * n_tables)
+    else:
+        planes = (
+            np.random.default_rng(seed)
+            .standard_normal((dim, n_planes * n_tables))
+            .astype(np.float64)
+        )
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     @pandas_udf("array<long>")
     def buckets(vec: pd.Series) -> pd.Series:
-        mat = np.vstack(vec.to_numpy())
-        signs = (mat.astype(np.float64) @ planes) > 0
-        signs = signs.reshape(len(mat), n_tables, n_planes)
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        if plane_mode == "md5":
+            dots = _seq_matmul(mat, planes)
+        else:
+            dots = mat @ planes
+        signs = (dots > 0).reshape(len(mat), n_tables, n_planes)
         b = (signs * weights).sum(axis=2)
         # table t gets its own bucket id space
         b = b + (np.arange(n_tables, dtype=np.int64) << n_planes)
@@ -160,11 +208,12 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 8,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of same-bucket
     vectors (one explode + equi-join), exact cosine re-rank on candidates
     only. Recall tunes via (n_planes, n_tables)."""
-    bu = bucket_udf(dim, n_planes, n_tables)
+    bu = bucket_udf(dim, n_planes, n_tables, plane_mode=plane_mode)
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec).alias("qvec"),
         _norm(F.col(vec)).alias("qnorm"),
@@ -310,6 +359,62 @@ def train_ivf_centroids(
     return cents
 
 
+def md5_anchor_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Oracle-replayable coarse quantizer: the anchors are the corpus
+    vectors with the n_centroids smallest (md5(key), key) — a legitimate
+    IVF variant (random-anchor inverted file, the 0-iteration special
+    case of k-means) whose anchor choice a SQL oracle reproduces with
+    ORDER BY md5(CAST(key AS VARCHAR)), key LIMIT n. Unlike trained
+    k-means, there is no float-mean feedback loop, so cross-engine
+    ulp differences cannot cascade into different centroids."""
+    rows = (
+        corpus.select(
+            F.md5(F.col(key).cast("string")).alias("h"), F.col(key), F.col(vec)
+        )
+        .orderBy("h", key)
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.vstack([np.asarray(r[2], dtype=np.float64) for r in rows])
+
+
+def _anchor_assign_udf(spark, anchors: np.ndarray, n_probe: int = 1):
+    """Nearest-anchor id(s) by cosine with SEQUENTIAL float64 folds for
+    the dot and both norms, so the scores are bit-identical to DuckDB's
+    list_dot_product / (sqrt(list_dot_product(v,v)) *
+    sqrt(list_dot_product(a,a))) and the oracle replays every
+    assignment. Ties break toward the smaller anchor id (stable sort /
+    first argmax), matching the oracle's ORDER BY cos DESC, aid ASC."""
+    bc = spark.sparkContext.broadcast(anchors)
+
+    def seq_sq_norm(m: np.ndarray) -> np.ndarray:
+        acc = m[:, 0] * m[:, 0]
+        for d in range(1, m.shape[1]):
+            acc = acc + m[:, d] * m[:, d]
+        return acc
+
+    @pandas_udf("array<int>")
+    def assign(vec: pd.Series) -> pd.Series:
+        a = bc.value  # (n_anchors, dim) — raw, NOT normalized
+        a_norm = np.sqrt(seq_sq_norm(a))
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        v_norm = np.sqrt(seq_sq_norm(mat))
+        sims = _seq_matmul(mat, a.T) / (v_norm[:, None] * a_norm[None, :])
+        if n_probe == 1:
+            top = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+        else:
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            top = top.astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -338,6 +443,49 @@ def ivf_topk(
     )
     # corpus row sits in exactly one list and probe cids are distinct per
     # query, so (query, candidate) pairs are already unique — no distinct
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("nn_id") != F.col("query_id"))
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank")
+    )
+
+
+def ivf_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with the md5-anchor coarse quantizer — identical search
+    shape to :func:`ivf_topk` (one inverted-list assignment per corpus
+    row, n_probe lists per query, exact JVM-cosine re-rank inside them)
+    but with an oracle-replayable quantizer: anchors come from
+    md5-ordered ids and assignment scores are sequential-fold cosines,
+    so a DuckDB oracle reproduces the whole pipeline bit-for-bit (see
+    md5_anchor_centroids / _anchor_assign_udf). The k-means-trained
+    variant stays the bench/production path; this is the registry's
+    oracle-gated form."""
+    spark = corpus.sparkSession
+    anchors = md5_anchor_centroids(corpus, n_centroids, key, vec)
+    one = _anchor_assign_udf(spark, anchors, 1)
+    probe = _anchor_assign_udf(spark, anchors, n_probe)
+    c = corpus.select(
+        F.col(key).alias("nn_id"), F.col(vec).alias("cvec"),
+        one(F.col(vec))[0].alias("cid"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("qvec"),
+        F.explode(probe(F.col(vec))).alias("cid"),
+    )
     cand = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("nn_id") != F.col("query_id"))

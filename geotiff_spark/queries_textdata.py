@@ -422,15 +422,128 @@ FROM final GROUP BY lang
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Probabilistic candidate generation (no SQL oracle; recall tested in
-    pytest against the exact jaccard baseline)."""
+    """Banded-MinHash near-dup pairs in md5 hash mode: the base shingle
+    hash is md5-derived (dedup._base_hash_expr), so the DuckDB oracle
+    replays the signatures, the banding, the candidate join AND the
+    exact-jaccard verify bit-for-bit — an LSH recall miss shows up
+    identically on both sides instead of as an unverifiable "it's
+    probabilistic" shrug. The xxhash64 fast path stays the bench/
+    production default (minhash_recall still gates it)."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8
+        _t(spark, sf_dir, "documents"), threshold=0.8, hash_mode="md5"
     )
 
 
+def _sql_minhash_lsh_pairs() -> str:
+    """DuckDB twin of q_minhash_lsh_pairs: identical 3-token shingles,
+    identical md5-derived 64-bit base hash, the SAME multiply-shift
+    constants (imported from dedup._minhash_params — single source of
+    truth) with mod-2^64 wraparound done in UHUGEINT, band keys as the
+    signature-slice tuple (Spark's xxhash64 band key is injective on
+    slices up to 2^-64 collisions), then exact jaccard on candidates
+    only — the same verify the engine runs."""
+    mult, add = dedup._minhash_params(64)
+    rows = ",\n    ".join(
+        f"({i}, {int(mult[i])}::UBIGINT, {int(add[i])}::UBIGINT)"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+),
+hv AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS h
+  FROM sh
+),
+params(i, mul, addc) AS (VALUES
+    {rows}
+),
+sigs AS (
+  SELECT doc_id, i,
+         MIN((mul::UHUGEINT * h::UHUGEINT + addc::UHUGEINT)
+             % 18446744073709551616::UHUGEINT)::UBIGINT AS sig
+  FROM hv, params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.8
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh_pairs()
+
+
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash Hamming-≤3 pairs in md5 hash mode: the per-token hash is
+    md5-derived, so the DuckDB oracle rebuilds every 64-bit signature
+    bit-for-bit and pins the full pair set (via brute-force Hamming —
+    the pigeonhole bucketing is exact, so bucketed == brute force; the
+    simhash_complete gate pins that equivalence on the engine side)."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_mode="md5"
+    )
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents)
+),
+hv AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
+votes AS (
+  SELECT doc_id, b, COUNT(*) FILTER (WHERE ((h >> b) & 1) = 1) AS ones
+  FROM hv, range(0, 64) t(b) GROUP BY doc_id, b
+),
+sig AS (
+  -- bit_or, not SUM: DuckDB's SUM over 64-bit-wide values goes through
+  -- a float accumulator and silently drops low bits; the set positions
+  -- are distinct powers of two, so bit_or IS the exact sum
+  SELECT v.doc_id,
+         bit_or(CASE WHEN 2 * v.ones > c.n
+                     THEN (1::UBIGINT << b)
+                     ELSE 0::UBIGINT END) AS sh
+  FROM votes v JOIN cnt c USING (doc_id) GROUP BY v.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 # ---- similarity ---------------------------------------------------------------
@@ -883,8 +996,20 @@ def bloom_incremental_frame(docs, m: int = 1 << 22, k: int = 4,
     doc: (doc_id, n_chunks, n_maybe_seen)."""
     hist = docs.filter(F.col("doc_id") % hist_mod != 0)
     new_docs = docs.filter(F.col("doc_id") % hist_mod == 0)
+    # materialize=False: bloom_pack's word-aggregation is the ONLY
+    # consumer here, so the bit set needs no build-once cache — and at
+    # large m the localCheckpoint is actively dangerous: it stores up to
+    # k*m ≈ 16.7M (seed,pos) rows DESERIALIZED, and MemoryStore's
+    # SizeEstimator object-graph walks under 32 concurrent putIterator
+    # threads are bimodal (measured: the identical job lands at ~16 s or
+    # >240 s depending on put/eviction timing — jstack shows every task
+    # spinning in SizeEstimator.visitArray/IdentityHashMap). This was
+    # the real shape of round 5's "79 s" official bloom record.
+    # distinct=False as well: bit_or is idempotent, so the pack path
+    # needs no corpus-sized distinct exchange either.
     bits = dedup.bloom_bit_set(
-        chunks_frame(hist), value_col="chunk", m=m, k=k)
+        chunks_frame(hist), value_col="chunk", m=m, k=k,
+        materialize=False, distinct=False)
     packed = dedup.bloom_pack(bits, m=m, k=k)
     probed = dedup.bloom_membership_packed(
         chunks_frame(new_docs), packed, value_col="chunk", m=m, k=k)
@@ -1320,18 +1445,128 @@ SELECT lang, token, ROUND(raw, 6) AS score, rank FROM (
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate LSH variant (no oracle; pytest measures recall vs exact)."""
+    """Sign-LSH approximate top-k in md5 plane mode: hyperplanes are
+    md5-derived uniforms and the sign dots fold sequentially, so the
+    DuckDB oracle rebuilds every bucket, candidate set, and the final
+    ranking bit-for-bit (similarity.md5_planes). The seeded-Gaussian
+    BLAS path stays the production default (ann_recall still gates it)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, k=5)
+    return similarity.lsh_topk(emb, queries, k=5, plane_mode="md5")
+
+
+# DuckDB twin of q_ann_lsh_topk (dim=64, n_planes=4, n_tables=8, k=5):
+# identical md5-derived planes, list_dot_product == the engine's
+# sequential float64 fold (verified bit-exact), identical bucket ids
+# (sum of sign bits + table offset), then exact cosine re-rank on the
+# candidate union with the same (cos DESC, nn_id ASC) tie-break.
+SQL_ANN_LSH_TOPK = """
+WITH planes AS (
+  SELECT j, d,
+         ('0x' || substr(md5('plane:' || j || ':' || d), 1, 16))
+           ::UBIGINT::DOUBLE / 18446744073709551616.0 - 0.5 AS w
+  FROM range(0, 32) t1(j), range(0, 64) t2(d)
+),
+pv AS (SELECT j, list(w ORDER BY d) AS p FROM planes GROUP BY j),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sv AS (
+  SELECT emb.vec_id, pv.j,
+         CASE WHEN list_dot_product(emb.e, pv.p) > 0 THEN 1 ELSE 0 END AS s
+  FROM emb, pv
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(s * (1 << (j % 4))) + (j // 4) * 16 AS BIGINT) AS bucket
+  FROM sv GROUP BY vec_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+  FROM buckets q JOIN buckets c USING (bucket)
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.nn_id,
+         list_dot_product(qe.e, ce.e)
+           / (sqrt(list_dot_product(qe.e, qe.e))
+              * sqrt(list_dot_product(ce.e, ce.e))) AS cos
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN emb ce ON ce.vec_id = cand.nn_id
+)
+SELECT query_id, nn_id, rank FROM (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF variant: spherical-k-means inverted lists + n_probe search (no
-    oracle; pytest measures recall vs exact)."""
+    """IVF top-k with the md5-anchor coarse quantizer (oracle-exact; see
+    similarity.ivf_topk_md5). The spherical-k-means-trained variant
+    stays exercised by ann_recall / ann_ivf_gate — this registry entry
+    pins the inverted-list SEARCH machinery (assignment, n_probe,
+    candidate join, re-rank) against a bit-for-bit DuckDB replay."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return similarity.ivf_topk_md5(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS aid,
+         e AS a
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+cosines AS (
+  SELECT emb.vec_id, anch.aid,
+         list_dot_product(emb.e, anch.a)
+           / (sqrt(list_dot_product(emb.e, emb.e))
+              * sqrt(list_dot_product(anch.a, anch.a))) AS cos
+  FROM emb, anch
+),
+assigned AS (
+  SELECT vec_id AS nn_id, aid AS cid FROM (
+    SELECT vec_id, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, aid ASC) AS r
+    FROM cosines) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, aid AS cid FROM (
+    SELECT vec_id, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, aid ASC) AS r
+    FROM cosines WHERE vec_id < 10) WHERE r <= 4
+),
+cand AS (
+  SELECT p.query_id, a.nn_id
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.nn_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.nn_id,
+         list_dot_product(qe.e, ce.e)
+           / (sqrt(list_dot_product(qe.e, qe.e))
+              * sqrt(list_dot_product(ce.e, ce.e))) AS cos
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN emb ce ON ce.vec_id = cand.nn_id
+)
+SELECT query_id, nn_id, rank FROM (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # ---- text analysis -------------------------------------------------------------
@@ -1747,11 +1982,11 @@ def textdata_queries():
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
-        "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-        "simhash_pairs": (q_simhash_pairs, None),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+        "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-        "ann_lsh_topk": (q_ann_lsh_topk, None),
-        "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
         "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
         "simhash_complete": (q_simhash_complete, SQL_SIMHASH_COMPLETE),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

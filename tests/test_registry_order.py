@@ -104,21 +104,18 @@ def test_tail_entries_are_individually_justified():
 
 
 def test_oracle_coverage_bookkeeping():
-    """Every no-oracle (probabilistic) query must have a named in-window
-    gate companion whose oracle pins its quality flags."""
+    """Round 6 closed the last four no-oracle rows (md5-derived hash /
+    plane / anchor modes give minhash_lsh_pairs, simhash_pairs,
+    ann_lsh_topk, ann_ivf_topk exact DuckDB twins), so the registry must
+    stay at FULL oracle coverage — and the quality gates that pin the
+    production (xxhash64 / Gaussian-plane / k-means) fast paths must
+    stay registered with oracles of their own."""
     reg = registry()
-    names = list(reg)
-    head = set(names[:DRIVER_WINDOW])
-    gates = {
-        "minhash_lsh_pairs": "minhash_recall",
-        "simhash_pairs": "simhash_complete",
-        "ann_lsh_topk": "ann_recall",
-        "ann_ivf_topk": "ann_ivf_gate",
-    }
     no_oracle = [n for n, (_f, sql) in reg.items() if sql is None]
-    assert sorted(no_oracle) == sorted(gates), (
-        "every no_oracle query needs a gate mapping here"
+    assert no_oracle == [], (
+        f"new no_oracle queries appeared: {no_oracle} — give them a "
+        "DuckDB twin (md5-derived randomness if needed) or justify here"
     )
-    for q, gate in gates.items():
-        assert q in head, q
-        assert gate in head and reg[gate][1] is not None, gate
+    for gate in ("minhash_recall", "simhash_complete", "ann_recall",
+                 "ann_ivf_gate"):
+        assert gate in reg and reg[gate][1] is not None, gate
