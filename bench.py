@@ -163,15 +163,18 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
     def bloom_dedup_pages2m():
         """Round-5: incremental Bloom dedup at realistic volume — 1.6M
         history pages build a 4 Mbit packed filter (one bounded bit-set
-        scan + a 2 MB broadcast), 0.4M new pages probe it with zero
-        batch-side shuffle (the packed-bitmap path; the (seed,pos)-join
-        form is the sf0.01 oracle)."""
+        scan), 0.4M new pages probe it with zero batch-side shuffle.
+        Round 6: the probe ships the bitmap as 4 word-range SEGMENT
+        broadcasts (n_segments=4) — the sharded form that survives m
+        beyond Spark's per-broadcast cap; pytest pins segmented ≡
+        whole-bitmap ≡ join-form bloom_hit, and the (seed,pos)-join
+        form is the sf0.01 oracle."""
         from geotiff_spark.queries_textdata import bloom_incremental_frame
 
         pages = spark.read.parquet(bign_path).select(
             F.xxhash64("url").alias("doc_id"), "text"
         )
-        return force_all(bloom_incremental_frame(pages))
+        return force_all(bloom_incremental_frame(pages, n_segments=4))
 
     out = {
         "pages_e2e": pages_e2e,

@@ -739,14 +739,24 @@ def bloom_membership(df: DataFrame, bits: DataFrame, value_col: str = "text",
                       for c in (f"_bp{s}", f"_bh{s}")])
 
 
-def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
-    """Collapse a (seed, pos) bit-set into k packed uint64 numpy arrays
-    (m/64 words each) — the LARGE-m artifact bloom_membership_packed
-    broadcasts. The word-keyed bit_or aggregation partial-aggregates
-    map-side, so the exchange and the driver collect are bounded by
-    k * m/64 rows (m = 2^26 → ≤ 4M rows ≈ 100 MB) regardless of
-    history size."""
-    words = (
+def bloom_word_table(bits: DataFrame) -> DataFrame:
+    """(seed, w, mask): the word-packed form of a (seed, pos) bit set,
+    still DISTRIBUTED — the m-unbounded filter artifact. The word-keyed
+    bit_or partial-aggregates map-side, so the exchange is bounded by
+    k * m/64 rows regardless of history size, and unlike the collected
+    dict the table itself never has to fit one machine: persist it
+    (bucketed by (seed, w)) between batches and probe with
+    :func:`bloom_membership_words`.
+
+    m-sizing rule (why this tier exists): optimal m ≈ n·k/ln2 for FP
+    rate 2^-k. k=4: n=10^8 history chunks → m ≈ 72 MB total — single
+    broadcast (bloom_pack). n=10^10 → 7.2 GB — segmented broadcasts
+    (bloom_membership_packed n_segments>1; caps per-variable size, but
+    every executor still holds all of m). n=10^12 (the 100 TB corpus)
+    → 721 GB — nothing broadcasts; THIS table + the word join is the
+    only shape that survives, at the price of shuffling the probe
+    side's (key, seed, w) triples (never its text)."""
+    return (
         bits.groupBy(
             "seed", (F.col("pos") / 64).cast("long").alias("w")
         )
@@ -756,8 +766,18 @@ def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
                 "CAST(pos % 64 AS INT)))"
             ).alias("mask")
         )
-        .toPandas()
     )
+
+
+def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
+    """Collapse a (seed, pos) bit-set into k packed uint64 numpy arrays
+    (m/64 words each) — the LARGE-m artifact bloom_membership_packed
+    broadcasts. The word-keyed bit_or aggregation partial-aggregates
+    map-side, so the exchange and the driver collect are bounded by
+    k * m/64 rows (m = 2^26 → ≤ 4M rows ≈ 100 MB) regardless of
+    history size. For m beyond driver/broadcast reach, keep the words
+    distributed instead: :func:`bloom_word_table`."""
+    words = bloom_word_table(bits).toPandas()
     packed = {s: np.zeros(m // 64 + 1, dtype=np.uint64)
               for s in range(1, k + 1)}
     for s, w, mask in words.itertuples(index=False, name=None):
@@ -768,57 +788,137 @@ def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
     return packed
 
 
-# One broadcast per packed filter, not per probe call: the intended
-# build-once/probe-every-batch loop would otherwise accumulate a fresh
-# (up to ~128 MB/seed) broadcast on driver and executors per batch
-# (ADVICE r05). Keyed by id() with the packed dict strongly referenced,
-# so the id cannot be recycled while the cache entry lives; retire a
-# filter explicitly with bloom_broadcast_destroy.
-_PACKED_BCASTS: dict[int, tuple[dict, "object"]] = {}
+def bloom_membership_words(
+    df: DataFrame,
+    words: DataFrame,
+    key_cols: list[str],
+    value_col: str = "text",
+    m: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """m-unbounded probe: test membership against a DISTRIBUTED
+    (seed, w, mask) word table (:func:`bloom_word_table`) instead of a
+    broadcast bitmap. Returns the DECISION PLANE — (key_cols...,
+    bloom_hit) — rather than widening df, so the only data that ever
+    shuffles is (key, seed, w, bit) integer quadruples: k rows per
+    probe value through one equi-join on (seed, w) and one per-key
+    aggregation. Identical bloom_hit semantics to bloom_membership /
+    bloom_membership_packed (pytest-pinned); key_cols must uniquely
+    identify probe rows."""
+    pos = F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 bloom_positions(value_col, s, m).alias("pos"))
+        for s in range(1, k + 1)
+    ])
+    exploded = (
+        df.select(*key_cols, F.explode(pos).alias("b"))
+        .select(
+            *key_cols,
+            F.col("b.seed").alias("seed"),
+            (F.col("b.pos") / 64).cast("long").alias("w"),
+            (F.col("b.pos") % 64).cast("int").alias("bit"),
+        )
+    )
+    j = exploded.join(words, ["seed", "w"], "left")
+    # expr form: the python shiftrightunsigned() helper only accepts a
+    # literal shift amount, not a per-row Column
+    bit_hit = F.when(
+        F.col("mask").isNotNull(),
+        F.expr("shiftrightunsigned(mask, bit) & 1").cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        j.select(*key_cols, bit_hit.alias("bit_hit"))
+        .groupBy(*key_cols)
+        .agg(F.min("bit_hit").alias("bloom_hit"))
+    )
 
 
-def _packed_broadcast(sc, packed: dict[int, np.ndarray]):
-    entry = _PACKED_BCASTS.get(id(packed))
+# One broadcast (set) per packed filter, not per probe call: the
+# intended build-once/probe-every-batch loop would otherwise accumulate
+# a fresh (up to ~128 MB/seed) broadcast on driver and executors per
+# batch (ADVICE r05). Keyed by (id(packed), n_segments) with the packed
+# dict strongly referenced, so the id cannot be recycled while the
+# cache entry lives; retire a filter with bloom_broadcast_destroy.
+_PACKED_BCASTS: dict[tuple[int, int], tuple[dict, list]] = {}
+
+
+def _packed_broadcasts(sc, packed: dict[int, np.ndarray],
+                       n_segments: int) -> list:
+    """One broadcast VARIABLE per (seed, word-range segment) — at
+    n_segments=1 this is the classic whole-bitmap-per-seed shipment;
+    at >1 each variable stays under Spark's per-broadcast limits even
+    when a seed's bitmap alone would not (the executors still hold all
+    of m between them — once m itself outgrows executor memory, switch
+    to bloom_membership_words). Returns [seed-1][segment] -> Broadcast."""
+    cache_key = (id(packed), n_segments)
+    entry = _PACKED_BCASTS.get(cache_key)
     if entry is not None and entry[0] is packed:
         return entry[1]
-    bcast = sc.broadcast(packed)
-    _PACKED_BCASTS[id(packed)] = (packed, bcast)
-    return bcast
+    seeds = sorted(packed)
+    n_words = len(packed[seeds[0]])
+    seg_len = -(-n_words // n_segments)  # ceil
+    bcasts = [
+        [sc.broadcast(packed[s][i * seg_len:(i + 1) * seg_len])
+         for i in range(n_segments)]
+        for s in seeds
+    ]
+    _PACKED_BCASTS[cache_key] = (packed, bcasts)
+    return bcasts
 
 
 def bloom_broadcast_destroy(packed: dict[int, np.ndarray]) -> None:
-    """Release the cached broadcast for a retired filter (frees the
-    bitmap copy on driver and executors)."""
-    entry = _PACKED_BCASTS.pop(id(packed), None)
-    if entry is not None:
-        entry[1].destroy()
+    """Release every cached broadcast for a retired filter (frees the
+    bitmap copies on driver and executors, all segment counts)."""
+    for key in [k for k in _PACKED_BCASTS if k[0] == id(packed)]:
+        entry = _PACKED_BCASTS.pop(key)
+        if entry[0] is packed:
+            for seg_list in entry[1]:
+                for b in seg_list:
+                    b.destroy()
 
 
 def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
                             value_col: str = "text",
-                            m: int = 4096, k: int = 4) -> DataFrame:
+                            m: int = 4096, k: int = 4,
+                            n_segments: int = 1) -> DataFrame:
     """Large-m probe path: identical `bloom_hit` semantics to
     :func:`bloom_membership` (pytest pins equality), but the filter
-    travels as k packed uint64 bitmaps in ONE broadcast variable
+    travels as packed uint64 bitmaps in broadcast variables
     (m = 2^30 → 128 MB/seed) instead of (seed, pos) join rows — the
     join form's hashed relation stops being broadcastable around
     ~10^7 set bits, which is exactly when a Bloom filter starts paying
     for itself. Positions stay JVM-computed (md5 codegen); the bit test
-    is one vectorized Arrow batch pass, no shuffle anywhere. The
-    broadcast is memoized per `packed` (probe-every-batch reuses it);
-    call :func:`bloom_broadcast_destroy` when the filter is retired."""
+    is one vectorized Arrow batch pass, no shuffle anywhere.
+
+    n_segments > 1 shards each seed's bitmap into word-range segments,
+    one broadcast variable each (pytest pins segmented ≡ whole-bitmap
+    bloom_hit) — the middle tier of the m-sizing rule on
+    :func:`bloom_word_table`: it lifts the per-variable broadcast cap,
+    not the per-executor memory bound. Broadcasts are memoized per
+    (packed, n_segments); call :func:`bloom_broadcast_destroy` when the
+    filter is retired."""
     sc = df.sparkSession.sparkContext
-    bcast = _packed_broadcast(sc, packed)
+    bcasts = _packed_broadcasts(sc, packed, n_segments)
+    n_words = len(packed[sorted(packed)[0]])
+    seg_len = -(-n_words // n_segments)
 
     @pandas_udf("long")
     def _hit(*pos_series: pd.Series) -> pd.Series:
-        arrs = bcast.value
         out = np.ones(len(pos_series[0]), dtype=bool)
-        for s, ps in enumerate(pos_series, start=1):
-            arr = arrs[s]
+        for si, ps in enumerate(pos_series):
             p = ps.to_numpy(dtype=np.int64)
-            out &= ((arr[p >> 6] >> np.uint64(0)) >>
-                    (p.astype(np.uint64) & np.uint64(63))) & np.uint64(1) == 1
+            w = p >> 6
+            bit = p.astype(np.uint64) & np.uint64(63)
+            if n_segments == 1:
+                masks = bcasts[si][0].value[w]
+            else:
+                seg = w // seg_len
+                idx = w % seg_len
+                masks = np.empty(len(p), dtype=np.uint64)
+                for g in np.unique(seg):
+                    sel = seg == g
+                    masks[sel] = bcasts[si][g].value[idx[sel]]
+            out &= (masks >> bit) & np.uint64(1) == 1
         return pd.Series(out.astype("int64"))
 
     pos_cols = [bloom_positions(value_col, s, m) for s in range(1, k + 1)]

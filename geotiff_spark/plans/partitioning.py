@@ -19,10 +19,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deep_histogram(df: DataFrame, token: str, max_depth: int = 12) -> pd.DataFrame:
-    """(prefix@max_depth, n) — the one measured aggregation."""
+DRIVER_HISTOGRAM_BUDGET = 100_000
+
+
+def measured_depth(
+    df: DataFrame,
+    token: str,
+    max_depth: int = 12,
+    driver_budget: int = DRIVER_HISTOGRAM_BUDGET,
+) -> int:
+    """Deepest prefix depth whose distinct-prefix count fits the driver
+    budget, probed with ONE aggregation of approx_count_distinct at
+    every candidate depth (HLL sketches, no data to the driver). At
+    continental cell occupancy a fixed max_depth histogram would be
+    4^12 ≈ 16.7M driver rows (VERDICT r05 "What's wrong" #3); this
+    bounds the later toPandas to the budget regardless of occupancy —
+    the price is histogram resolution saturating at the measured depth,
+    which is exactly the depth the driver could afford to look at. The
+    0.85 slack absorbs approx_count_distinct's default ~5% error."""
+    row = df.agg(*[
+        F.approx_count_distinct(
+            F.substring(F.col(token), 1, d)
+        ).alias(f"d{d}")
+        for d in range(1, max_depth + 1)
+    ]).collect()[0]
+    fitting = [d for d in range(1, max_depth + 1)
+               if row[f"d{d}"] <= driver_budget * 0.85]
+    return max(fitting) if fitting else 1
+
+
+def deep_histogram(
+    df: DataFrame,
+    token: str,
+    max_depth: int = 12,
+    driver_budget: int = DRIVER_HISTOGRAM_BUDGET,
+) -> pd.DataFrame:
+    """(prefix@depth, n) — the one measured aggregation, collected at
+    the deepest depth the driver budget affords (see measured_depth)."""
+    depth = measured_depth(df, token, max_depth, driver_budget)
     return (
-        df.groupBy(F.substring(F.col(token), 1, max_depth).alias("prefix"))
+        df.groupBy(F.substring(F.col(token), 1, depth).alias("prefix"))
         .agg(F.count(F.lit(1)).alias("n"))
         .toPandas()
     )

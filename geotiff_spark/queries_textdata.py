@@ -983,7 +983,7 @@ WHERE doc.doc_id % 5 = 0
 
 
 def bloom_incremental_frame(docs, m: int = 1 << 22, k: int = 4,
-                            hist_mod: int = 5):
+                            hist_mod: int = 5, n_segments: int = 1):
     """Production-shaped incremental chunk dedup over any (doc_id,
     text) frame — the engine core of :func:`q_bloom_chunk_dedup` at
     LARGE m, benched over the 2M-row synthetic pages corpus
@@ -1012,7 +1012,8 @@ def bloom_incremental_frame(docs, m: int = 1 << 22, k: int = 4,
         materialize=False, distinct=False)
     packed = dedup.bloom_pack(bits, m=m, k=k)
     probed = dedup.bloom_membership_packed(
-        chunks_frame(new_docs), packed, value_col="chunk", m=m, k=k)
+        chunks_frame(new_docs), packed, value_col="chunk", m=m, k=k,
+        n_segments=n_segments)
     return (
         probed.groupBy("doc_id")
         .agg(

@@ -218,6 +218,24 @@ def test_bloom_packed_probe_equals_join_probe(spark):
     assert via_packed == via_join
     assert sum(via_join[v] for v in hist_vals[:16]) == 16  # no false negs
     assert 0 < sum(via_join[f"unseen-{i}"] for i in range(256)) < 256
+    # segmented broadcasts (the 100-TB-m middle tier: one variable per
+    # word-range shard) must be bit-identical too — n_segments=3 does
+    # not divide the 3-word bitmap evenly, exercising the ragged tail
+    via_seg = {
+        r["text"]: r["bloom_hit"]
+        for r in dedup.bloom_membership_packed(
+            new, packed, "text", m=m, k=k, n_segments=3).collect()
+    }
+    assert via_seg == via_join
+    # and the m-UNBOUNDED tier: probe by equi-join against the
+    # distributed (seed, w, mask) word table — decision-plane output
+    words = dedup.bloom_word_table(bits)
+    via_words = {
+        r["text"]: r["bloom_hit"]
+        for r in dedup.bloom_membership_words(
+            new, words, ["text"], "text", m=m, k=k).collect()
+    }
+    assert via_words == via_join
 
 
 def test_bloom_packed_probe_plan_has_no_shuffle(spark):
