@@ -651,6 +651,59 @@ def connected_components(
     )
 
 
+def repeated_ngram_mine(
+    df: DataFrame,
+    n: int = 13,
+    min_count: int = 2,
+    top_n: int = 50,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated n-token-gram miner — the cross-boundary
+    complement to fixed-boundary chunk dedup: a duplicated passage that
+    STRADDLES chunk_dedup's 10-token boundaries never produces equal
+    chunk digests, but every repeated passage of ≥ n tokens contains a
+    repeated n-gram at SOME offset, and the sliding window sees all
+    offsets. The classic boilerplate/contamination signal (the
+    repeated-13-gram statistic of web-corpus dedup pipelines).
+
+    Returns (gram, n_docs, n_occ, rank): the top_n most frequent grams
+    occurring ≥ min_count times, ranked by (n_occ DESC, gram ASC).
+
+    Scale shape: gram extraction is row-local JVM codegen (split →
+    sequence → slice → concat_ws); the aggregation groups on md5(gram)
+    so the exchange key is fixed-width and partial-aggregates map-side —
+    each map task ships one (digest, gram, partial count) per distinct
+    gram it saw, never one row per occurrence; n_docs adds one
+    (digest, doc_id)-distinct pass of integer pairs. The final top_n is
+    TakeOrdered (per-partition k, no global sort)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    g = df.select(F.col(key).alias("doc_id"), F.explode(grams).alias("gram"))
+    agg = (
+        g.groupBy(F.md5("gram").alias("digest"))
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+    top = agg.orderBy(F.desc("n_occ"), F.asc("gram")).limit(top_n)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("gram"))
+    return top.select(
+        "gram", "n_docs", "n_occ", F.row_number().over(w).alias("rank")
+    )
+
+
 # ---- Bloom-filter incremental dedup -----------------------------------------
 #
 # The 100 TB incremental-crawl path: dedup TODAY's batch against the

@@ -29,7 +29,12 @@ def pack_sequences(df: DataFrame, tokens_col: str = "n_tokens",
     (next-fit greedy). An oversized document (> capacity tokens) still
     occupies one bin alone rather than erroring — the caller decides
     whether to truncate upstream."""
-    bucketed = df.select(
+    # NULL token counts cannot be packed: inside the pandas group they
+    # become NaN, silently opening a new bin per row and risking a
+    # NaN→long cast error (ADVICE r05). Dropping them mirrors the
+    # oracle's WHERE-filtered input; callers that want NULL-counted docs
+    # packed must coalesce upstream.
+    bucketed = df.filter(F.col(tokens_col).isNotNull()).select(
         F.col(key).cast("long").alias(key),
         F.col(tokens_col).cast("long").alias(tokens_col),
         (F.col(key) % n_buckets).cast("long").alias("bucket"),

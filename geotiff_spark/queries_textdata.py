@@ -1120,7 +1120,7 @@ def q_pack_sequences(spark, sf_dir):
     oracle reproduces the next-fit recurrence with a recursive CTE —
     exact, because packing is a pure integer function of (doc_id,
     n_tokens)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     with_tokens = docs.select(
         "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
     )
@@ -1136,7 +1136,7 @@ WITH RECURSIVE docs_t AS (
                               t -> t <> '')) AS BIGINT) AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY doc_id % 32
                             ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pack AS (
   SELECT bucket, rn, doc_id, n_tokens,
@@ -1935,6 +1935,214 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"[0-9]{9,}"
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Real merges-table BPE apply (operators/bpe.py): per-doc word and
+    BPE-token counts under the fixed DEFAULT_MERGES vocabulary. The
+    DuckDB oracle replays the greedy merge loop exactly with a
+    recursive CTE over separator-joined token states (first-occurrence
+    string surgery == bpe_apply's leftmost-lowest-rank step)."""
+    from geotiff_spark.operators import bpe
+
+    return bpe.bpe_encode_counts(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_encode() -> str:
+    from geotiff_spark.operators.bpe import DEFAULT_MERGES
+
+    rows = ",\n  ".join(
+        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(DEFAULT_MERGES)
+    )
+    return f"""
+WITH RECURSIVE
+merges(rank, l, r) AS (VALUES
+  {rows}
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+words(word) AS (SELECT DISTINCT w FROM docw),
+enc AS (
+  SELECT word,
+         chr(31) || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]),
+           chr(31)) || chr(31) AS state
+  FROM words
+  UNION ALL
+  SELECT word,
+         substr(state, 1,
+                strpos(state, chr(31)||m.l||chr(31)||m.r||chr(31)) - 1)
+           || chr(31) || m.l || m.r || chr(31)
+           || substr(state,
+                     strpos(state, chr(31)||m.l||chr(31)||m.r||chr(31))
+                     + len(chr(31)||m.l||chr(31)||m.r||chr(31)))
+  FROM (
+    SELECT e.word, e.state,
+           (SELECT m2.rank FROM merges m2
+            WHERE contains(e.state, chr(31)||m2.l||chr(31)||m2.r||chr(31))
+            ORDER BY m2.rank LIMIT 1) AS best
+    FROM enc e
+  ) e JOIN merges m ON m.rank = e.best
+),
+final AS (
+  SELECT word,
+         len(list_filter(string_split(state, chr(31)), t -> t <> ''))
+           AS n_tok
+  FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m
+    WHERE contains(e.state, chr(31)||m.l||chr(31)||m.r||chr(31)))
+),
+per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_words, SUM(f.n_tok) AS n_bpe_tokens
+  FROM docw d JOIN final f ON f.word = d.w
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS INT) AS n_words,
+       CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) doc
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Sequence packing keyed on REAL BPE token counts (the production
+    pairing: context windows are budgeted in model tokens, not
+    whitespace words): bpe_encode_counts feeds pack_sequences. Same
+    next-fit recurrence, same 512/32 shape as pack_sequences."""
+    from geotiff_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = bpe.bpe_encode_counts(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return packing.pack_sequences(counts, capacity=512, n_buckets=32)
+
+
+def _sql_pack_sequences_bpe() -> str:
+    """Compose the BPE recursive replay with the next-fit pack
+    recursion — two recursive CTEs in one WITH RECURSIVE."""
+    from geotiff_spark.operators.bpe import DEFAULT_MERGES
+
+    rows = ",\n  ".join(
+        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(DEFAULT_MERGES)
+    )
+    return f"""
+WITH RECURSIVE
+merges(rank, l, r) AS (VALUES
+  {rows}
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+words(word) AS (SELECT DISTINCT w FROM docw),
+enc AS (
+  SELECT word,
+         chr(31) || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]),
+           chr(31)) || chr(31) AS state
+  FROM words
+  UNION ALL
+  SELECT word,
+         substr(state, 1,
+                strpos(state, chr(31)||m.l||chr(31)||m.r||chr(31)) - 1)
+           || chr(31) || m.l || m.r || chr(31)
+           || substr(state,
+                     strpos(state, chr(31)||m.l||chr(31)||m.r||chr(31))
+                     + len(chr(31)||m.l||chr(31)||m.r||chr(31)))
+  FROM (
+    SELECT e.word, e.state,
+           (SELECT m2.rank FROM merges m2
+            WHERE contains(e.state, chr(31)||m2.l||chr(31)||m2.r||chr(31))
+            ORDER BY m2.rank LIMIT 1) AS best
+    FROM enc e
+  ) e JOIN merges m ON m.rank = e.best
+),
+final AS (
+  SELECT word,
+         len(list_filter(string_split(state, chr(31)), t -> t <> ''))
+           AS n_tok
+  FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m
+    WHERE contains(e.state, chr(31)||m.l||chr(31)||m.r||chr(31)))
+),
+per_doc AS (
+  SELECT doc.doc_id, CAST(COALESCE(SUM(f.n_tok), 0) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) doc
+  LEFT JOIN docw d ON d.doc_id = doc.doc_id
+  LEFT JOIN final f ON f.word = d.w
+  GROUP BY doc.doc_id
+),
+docs_t AS (
+  SELECT doc_id, doc_id % 32 AS bucket, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 32
+                            ORDER BY doc_id) AS rn
+  FROM per_doc
+),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM docs_t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= 512
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= 512
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM pack p
+  JOIN docs_t d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, bin_id FROM pack
+"""
+
+
+SQL_PACK_SEQUENCES_BPE = _sql_pack_sequences_bpe()
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    """Cross-boundary repeated-substring mining: the top-50 repeated
+    13-token grams corpus-wide (dedup.repeated_ngram_mine) — catches
+    duplicated passages that straddle chunk_dedup's fixed 10-token
+    boundaries (VERDICT r05 'What's missing' #6)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dedup.repeated_ngram_mine(docs, n=13, min_count=2, top_n=50)
+
+
+SQL_REPEATED_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS gram
+  FROM toks, unnest(range(1, len(tk) - 11)) t(i)
+),
+agg AS (
+  SELECT MIN(gram) AS gram, COUNT(*) AS n_occ,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY md5(gram)
+  HAVING COUNT(*) >= 2
+)
+SELECT gram, n_docs, n_occ, rank FROM (
+  SELECT gram, n_docs, n_occ,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, gram ASC) AS rank
+  FROM agg
+) WHERE rank <= 50
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing pass (training-data hygiene): redact email
     addresses and ≥9-digit numeric runs (phone/ID shapes), counting
@@ -2001,6 +2209,9 @@ def textdata_queries():
         "trigram_lm_score": (q_trigram_lm_score, SQL_TRIGRAM_LM_SCORE),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "rep_signals": (q_rep_signals, SQL_REP_SIGNALS),
+        "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
+        "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+        "pack_sequences_bpe": (q_pack_sequences_bpe, SQL_PACK_SEQUENCES_BPE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),

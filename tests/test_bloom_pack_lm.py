@@ -273,3 +273,37 @@ def test_bloom_probe_plan_has_no_probe_side_exchange(spark):
         assert "seed" in args or "pos" in args, (
             f"unexpected probe-side shuffle on ({args}):\n{plan}"
         )
+
+
+def test_repeated_ngram_mine_catches_straddling_duplicates(spark):
+    """A passage duplicated across docs at an offset that STRADDLES the
+    10-token chunk boundary must escape chunk-level dedup (no equal
+    chunk digests) yet be found by the sliding repeated-n-gram miner —
+    the exact gap the miner exists to close."""
+    from geotiff_spark.queries_textdata import chunks_frame
+
+    passage = " ".join(f"dup{i}" for i in range(13))  # 13 shared tokens
+    docs = [
+        # passage starts at token 5 of doc 0 -> spans chunks 0 and 1
+        (0, " ".join(f"a{i}" for i in range(5)) + " " + passage + " tail0"),
+        # and at token 8 of doc 1 -> different split points entirely
+        (1, " ".join(f"b{i}" for i in range(8)) + " " + passage + " tail1"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # chunk dedup is blind to it: no chunk digest repeats across docs
+    ch = chunks_frame(df).select(
+        "doc_id", F.md5("chunk").alias("digest")).collect()
+    seen = {}
+    for r in ch:
+        seen.setdefault(r["digest"], set()).add(r["doc_id"])
+    assert all(len(v) == 1 for v in seen.values()), (
+        "chunk boundaries unexpectedly aligned; fixture is broken"
+    )
+
+    # the miner sees it: the shared 13-gram is the top repeated gram
+    top = dedup.repeated_ngram_mine(df, n=13, min_count=2, top_n=5).collect()
+    assert top, "no repeated gram found"
+    assert top[0]["gram"] == passage
+    assert top[0]["n_docs"] == 2 and top[0]["n_occ"] == 2
+    assert top[0]["rank"] == 1
