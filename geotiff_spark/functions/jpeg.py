@@ -1,19 +1,28 @@
-"""Pure-numpy baseline JPEG codec (no Pillow/libjpeg).
+"""Pure-numpy JPEG codec (no Pillow/libjpeg): baseline AND progressive.
 
-Decoder: baseline sequential DCT (SOF0) — marker parse, arbitrary DQT/
-DHT tables read from the stream, interleaved MCU entropy decode with DC
-prediction and 0xFF00 byte unstuffing, dequantize → dezigzag → 8x8
-IDCT (exact float DCT-III matrix), chroma upsampling for any (h, v)
-sampling factors, JFIF YCbCr→RGB. Grayscale, 4:4:4 and 4:2:0 covered by
-tests; progressive (SOF2), arithmetic coding and restart intervals are
-rejected explicitly.
+Decoder: sequential DCT (SOF0) and progressive DCT (SOF2) — marker
+parse, arbitrary DQT/DHT tables (redefinable between scans), 0xFF00
+byte unstuffing, and per scan shape: interleaved MCU entropy decode
+with DC prediction (baseline / progressive DC first), DC successive-
+approximation refinement bits, non-interleaved AC spectral-selection
+bands with EOBn band-skip runs (T.81 G.1.2.2), and AC refinement with
+correction bits and ZRL-in-refinement (G.1.2.3); then dequantize →
+dezigzag → 8x8 IDCT (exact float DCT-III matrix), chroma upsampling
+for any (h, v) sampling factors, JFIF YCbCr→RGB. Grayscale, 4:4:4 and
+4:2:0 covered by tests; arithmetic coding, restart intervals,
+hierarchical and lossless frames are rejected explicitly.
 
-Encoder: the inverse pipeline for corpus generation and roundtrips —
+Encoders: the inverse pipelines for corpus generation and roundtrips —
 level shift → DCT → quantize (deterministic quality-scaled tables,
-written to DQT) → zigzag → Huffman. Tables are CUSTOM canonical codes
-(flat 4-bit DC / 9-10-bit AC) rather than the Annex K defaults: JPEG
-permits any DHT, the decoder reads whatever the stream declares (so it
-also decodes foreign baseline files), and flat codes keep the encoder
+written to DQT) → zigzag → Huffman; encode_jpeg_progressive emits a
+fixed scan script covering every progressive scan shape (spectral
+bands, successive approximation Al 2→1→0, DC refinement). Both share
+the quantization front half, so baseline and progressive encodings of
+one image carry IDENTICAL coefficients and must decode bit-equal —
+tests/test_jpeg.py pins that cross-check. Tables are CUSTOM canonical
+codes (flat 4-bit DC / 9-10-bit AC) rather than the Annex K defaults:
+JPEG permits any DHT, the decoder reads whatever the stream declares
+(so it also decodes foreign files), and flat codes keep the encoder
 honest without hardcoding 162-entry default tables.
 
 The entropy layer (Huffman + DC prediction + stuffing) is LOSSLESS at
@@ -177,11 +186,10 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 # ---- encoder ----------------------------------------------------------------
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
-) -> bytes:
-    """(h, w) or (h, w, 1) grayscale, (h, w, 3) RGB → baseline JPEG.
-    subsampling: '444' or '420' (color only)."""
+def _prepare_blocks(arr, quality, subsampling):
+    """Shared front half of both encoders: color transform, subsample,
+    MCU padding, DCT, quantize. Returns (h, w, samp, comp_q, qts,
+    blocks, mcux, mcuy) with blocks[ci] = (by, bx, 8, 8) int64."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -222,17 +230,53 @@ def encode_jpeg(
         coef = np.einsum("ij,abjk,lk->abil", _M, b, _M)
         q = np.round(coef / qts[comp_q[ci]]).astype(np.int64)
         blocks.append(q)
+    return h, w, samp, comp_q, qts, blocks, mcux, mcuy
 
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _header_segments(h, w, samp, comp_q, qts, sof_marker):
+    """SOI + DQT + SOFn + flat DHTs shared by both encoders."""
+    gray = len(samp) == 1
+    out = bytearray(b"\xff\xd8")
+    for ti, qt in enumerate(qts[: 1 if gray else 2]):
+        zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += _seg(0xDB, bytes([ti]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for ci in range(len(samp)):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    out += _seg(sof_marker, sof)
     dc_counts, dc_syms = _flat_tables(12, 4)
     ac_counts, ac_syms = _flat_tables(256, 9)
+    for cls, tid, (counts, syms) in (
+        (0, 0, (dc_counts, dc_syms)), (1, 0, (ac_counts, ac_syms)),
+    ):
+        out += _seg(
+            0xC4,
+            bytes([(cls << 4) | tid]) + bytes(counts[1:17]) + bytes(syms),
+        )
     dc_code = _canonical_codes(dc_counts, dc_syms)
     ac_code = _canonical_codes(ac_counts, ac_syms)
+    return out, dc_code, ac_code
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w) or (h, w, 1) grayscale, (h, w, 3) RGB → baseline JPEG.
+    subsampling: '444' or '420' (color only)."""
+    h, w, samp, comp_q, qts, blocks, mcux, mcuy = _prepare_blocks(
+        arr, quality, subsampling
+    )
+    out, dc_code, ac_code = _header_segments(h, w, samp, comp_q, qts, 0xC0)
 
     wtr = _Writer()
-    pred = [0] * len(planes)
+    pred = [0] * len(samp)
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci in range(len(planes)):
+            for ci in range(len(samp)):
                 sh, sv = samp[ci]
                 for by in range(sv):
                     for bx in range(sh):
@@ -265,30 +309,219 @@ def encode_jpeg(
                             wtr.put(c, ln)
     wtr.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    for ti, qt in enumerate(qts[: 1 if gray else 2]):
-        zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8)
-        out += seg(0xDB, bytes([ti]) + zz.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci in range(len(planes)):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
-    out += seg(0xC0, sof)
-    for cls, tid, (counts, syms) in (
-        (0, 0, (dc_counts, dc_syms)), (1, 0, (ac_counts, ac_syms)),
-    ):
-        out += seg(
-            0xC4,
-            bytes([(cls << 4) | tid]) + bytes(counts[1:17]) + bytes(syms),
-        )
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytes([len(samp)])
+    for ci in range(len(samp)):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) encoder for corpus generation: a fixed scan
+    script that exercises EVERY progressive scan shape — interleaved DC
+    first with a point transform (Al=1), a DC refinement, per-component
+    AC first scans over two spectral bands at Al=2, and two successive-
+    approximation AC refinement levels (2→1→0) per band — so a decoder
+    that survives this corpus has seen spectral selection, successive
+    approximation, EOB runs, ZRL-in-refinement and correction bits.
+    Coefficient-lossless like the baseline encoder: decode(encode(x))
+    differs from x by quantization error only (T.81 annex G)."""
+    h, w, samp, comp_q, qts, blocks, mcux, mcuy = _prepare_blocks(
+        arr, quality, subsampling
+    )
+    out, dc_code, ac_code = _header_segments(h, w, samp, comp_q, qts, 0xC2)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # zigzag-order the coefficient blocks once
+    zz_blocks = []
+    for b in blocks:
+        flat = b.reshape(b.shape[0], b.shape[1], 64)
+        zz_blocks.append(flat[:, :, ZIGZAG])
+
+    def sos_segment(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def comp_grid(ci):
+        """Non-interleaved (unpadded) block grid of component ci."""
+        cw = -(-w * samp[ci][0] // hmax)
+        ch = -(-h * samp[ci][1] // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def dc_first(al):
+        wtr = _Writer()
+        pred = [0] * len(samp)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(len(samp)):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz_blocks[ci][my * sv + by,
+                                                   mx * sh + bx, 0]) >> al
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            t, bitsv = _magnitude(diff)
+                            c, ln = dc_code[t]
+                            wtr.put(c, ln)
+                            if t:
+                                wtr.put(bitsv, t)
+        wtr.flush()
+        return wtr.out
+
+    def dc_refine(al):
+        wtr = _Writer()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(len(samp)):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz_blocks[ci][my * sv + by,
+                                                   mx * sh + bx, 0])
+                            wtr.put((dc >> al) & 1, 1)
+        wtr.flush()
+        return wtr.out
+
+    def flush_eob(wtr, eobrun, pending):
+        if eobrun[0] == 0:
+            return
+        n = eobrun[0]
+        rbits = n.bit_length() - 1
+        c, ln = ac_code[rbits << 4]
+        wtr.put(c, ln)
+        if rbits:
+            wtr.put(n - (1 << rbits), rbits)
+        for b in pending:
+            wtr.put(b, 1)
+        pending.clear()
+        eobrun[0] = 0
+
+    def ac_first(ci, ss, se, al):
+        wtr = _Writer()
+        bw, bh = comp_grid(ci)
+        eobrun = [0]
+        for by in range(bh):
+            for bx in range(bw):
+                band = zz_blocks[ci][by, bx, ss:se + 1]
+                t = np.sign(band) * (np.abs(band) >> al)
+                nz = np.nonzero(t)[0]
+                if len(nz) == 0:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob(wtr, eobrun, [])
+                    continue
+                flush_eob(wtr, eobrun, [])
+                run = 0
+                last = nz[-1]
+                for k in range(last + 1):
+                    v = int(t[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_code[0xF0]
+                        wtr.put(c, ln)
+                        run -= 16
+                    sz, bitsv = _magnitude(v)
+                    c, ln = ac_code[(run << 4) | sz]
+                    wtr.put(c, ln)
+                    wtr.put(bitsv, sz)
+                    run = 0
+                if last < se - ss:
+                    eobrun[0] += 1
+        flush_eob(wtr, eobrun, [])
+        wtr.flush()
+        return wtr.out
+
+    def ac_refine(ci, ss, se, al):
+        """T.81 G.1.2.3 encoding model. Correction bits must stay
+        INTERLEAVED with the zero-run structure: after a ZRL the decoder
+        reads bits only for history coefficients located BEFORE the 16th
+        zero it skips, so the encoder tracks an event list (zero-history
+        slot vs correction bit, in position order) and splits it at each
+        ZRL exactly where the decoder's walk will stop."""
+        wtr = _Writer()
+        bw, bh = comp_grid(ci)
+        eobrun = [0]
+        pending: list[int] = []  # correction bits buffered behind EOBs
+        for by in range(bh):
+            for bx in range(bw):
+                band = zz_blocks[ci][by, bx, ss:se + 1]
+                absb = np.abs(band) >> al
+                newly = np.nonzero(absb == 1)[0]
+                eob_pos = int(newly[-1]) + 1 if len(newly) else 0
+                events: list[int] = []  # -1 = zero slot, 0/1 = corr bit
+                nzeros = 0
+                for k in range(eob_pos):
+                    ab = int(absb[k])
+                    if ab == 0:
+                        events.append(-1)
+                        nzeros += 1
+                    elif ab > 1:
+                        events.append(ab & 1)
+                    else:  # newly significant
+                        while nzeros > 15:
+                            flush_eob(wtr, eobrun, pending)
+                            c, ln = ac_code[0xF0]
+                            wtr.put(c, ln)
+                            zc = 0
+                            while zc < 16:
+                                e = events.pop(0)
+                                if e == -1:
+                                    zc += 1
+                                else:
+                                    wtr.put(e, 1)
+                            nzeros -= 16
+                        flush_eob(wtr, eobrun, pending)
+                        c, ln = ac_code[(nzeros << 4) | 1]
+                        wtr.put(c, ln)
+                        wtr.put(1 if band[k] > 0 else 0, 1)
+                        for e in events:
+                            if e != -1:
+                                wtr.put(e, 1)
+                        events = []
+                        nzeros = 0
+                if eob_pos <= se - ss:
+                    # block ends in EOB; its tail correction bits ride
+                    # behind the (possibly accumulating) EOB run
+                    eobrun[0] += 1
+                    pending.extend(
+                        int(absb[k]) & 1
+                        for k in range(eob_pos, se - ss + 1)
+                        if absb[k] > 1
+                    )
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob(wtr, eobrun, pending)
+        flush_eob(wtr, eobrun, pending)
+        wtr.flush()
+        return wtr.out
+
+    all_ids = [ci + 1 for ci in range(len(samp))]
+    out += sos_segment(all_ids, 0, 0, 0, 1) + dc_first(1)
+    bands = [(1, 5), (6, 63)]
+    for ci in range(len(samp)):
+        for ss, se in bands:
+            out += sos_segment([ci + 1], ss, se, 0, 2) + ac_first(
+                ci, ss, se, 2
+            )
+    # DC refinement deliberately sits between AC passes: scan order
+    # across components/coefficient kinds is free in progressive mode
+    out += sos_segment(all_ids, 0, 0, 1, 0) + dc_refine(0)
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(len(samp)):
+            for ss, se in bands:
+                out += sos_segment([ci + 1], ss, se, ah, al) + ac_refine(
+                    ci, ss, se, al
+                )
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -303,7 +536,8 @@ def _box2(p: np.ndarray) -> np.ndarray:
 # ---- decoder ----------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 1) gray or (h, w, 3) RGB uint8."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes → (h, w, 1)
+    gray or (h, w, 3) RGB uint8."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     try:
@@ -312,12 +546,190 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegError(f"truncated or corrupt stream: {exc}") from exc
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """End of an entropy-coded segment: the next 0xFF not followed by a
+    stuffed 0x00 (fill bytes before the next marker count as the end)."""
+    end = pos
+    while end + 1 < len(data):
+        if data[end] == 0xFF and data[end + 1] != 0x00:
+            break
+        end += 1
+    return end
+
+
+def _decode_dc_scan(r, coefs_zz, scomps, frame, huff, ah, al, pred):
+    """DC scan (Ss=Se=0): interleaved MCU walk over the scan's
+    components. First pass (Ah=0) decodes diffs into bit-position Al
+    and up; refinement (Ah>0) appends one raw bit at Al per block
+    (two's-complement OR — exact for negatives because the first pass
+    used an arithmetic shift)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if len(scomps) == 1:
+        c, ci, st = scomps[0]
+        bw, bh = _comp_blocks(frame, c)
+        dct = huff.get((0, st["dc"])) if ah == 0 else None
+        for by in range(bh):
+            for bx in range(bw):
+                _dc_block(r, coefs_zz[ci], by, bx, dct, ah, al, pred, ci)
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, ci, st in scomps:
+                dct = huff.get((0, st["dc"])) if ah == 0 else None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        _dc_block(
+                            r, coefs_zz[ci], my * c["v"] + by,
+                            mx * c["h"] + bx, dct, ah, al, pred, ci,
+                        )
+
+
+def _dc_block(r, arr, by, bx, dct, ah, al, pred, ci):
+    if ah == 0:
+        t = _decode_symbol(r, dct)
+        diff = _extend(r.bits(t), t) if t else 0
+        pred[ci] += diff
+        arr[by, bx, 0] = pred[ci] << al
+    else:
+        if r.bit():
+            arr[by, bx, 0] = int(arr[by, bx, 0]) | (1 << al)
+
+
+def _comp_blocks(frame, c):
+    """Non-interleaved block grid of one component (T.81 A.2.2): based
+    on the component's OWN sample dimensions, not the padded MCU grid."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_ac_first(r, arr, bw, bh, act, ss, se, al, eobrun):
+    """Progressive AC first pass (T.81 G.1.2.2): non-interleaved block
+    raster, EOBn band-skip runs, values land at bit Al and up."""
+    for by in range(bh):
+        for bx in range(bw):
+            if eobrun[0] > 0:
+                eobrun[0] -= 1
+                continue
+            zz = arr[by, bx]
+            k = ss
+            while k <= se:
+                rs = _decode_symbol(r, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run != 15:
+                        eobrun[0] = (1 << run) + (r.bits(run) if run else 0)
+                        eobrun[0] -= 1  # current block is part of the run
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise JpegError("AC run past band end")
+                zz[k] = _extend(r.bits(size), size) << al
+                k += 1
+
+
+def _decode_ac_refine(r, arr, bw, bh, act, ss, se, al, eobrun):
+    """Progressive AC refinement (T.81 G.1.2.3): correction bits for
+    already-nonzero coefficients, new ±2^Al insertions with runs that
+    count zero-history positions only."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(zz, k):
+        if r.bit():
+            cur = int(zz[k])
+            if (abs(cur) & p1) == 0:
+                zz[k] = cur + (p1 if cur >= 0 else m1)
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = arr[by, bx]
+            k = ss
+            if eobrun[0] == 0:
+                while k <= se:
+                    rs = _decode_symbol(r, act)
+                    run, size = rs >> 4, rs & 0xF
+                    val = 0
+                    if size == 0:
+                        if run != 15:
+                            eobrun[0] = (1 << run) + (
+                                r.bits(run) if run else 0
+                            )
+                            break
+                        # run == 15: ZRL — skip 16 zero-history slots
+                    else:
+                        if size != 1:
+                            raise JpegError("refinement size must be 1")
+                        val = p1 if r.bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(zz, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun[0] > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    k += 1
+                eobrun[0] -= 1
+
+
+def _decode_baseline_scan(r, coefs_zz, scomps, frame, huff, pred):
+    """Sequential scan: interleaved MCU walk, full-band DC+AC decode."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, ci, st in scomps:
+                dct = huff[(0, st["dc"])]
+                act = huff[(1, st["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = coefs_zz[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        t = _decode_symbol(r, dct)
+                        diff = _extend(r.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(r, act)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            zz[k] = _extend(r.bits(size), size)
+                            k += 1
+
+
 def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    progressive = False
+    coefs_zz = None
+    n_scans = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
@@ -360,7 +772,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     (c, ln): s for s, (c, ln) in codes.items()
                 }
                 off += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise JpegError("only 8-bit precision")
@@ -369,7 +782,18 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 cid, sf, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # integer ZIGZAG-order coefficient state: progressive scans
+            # address spectral bands by zigzag index, and refinement
+            # bit-ORs need exact two's-complement ints
+            coefs_zz = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"non-baseline frame marker 0xFF{marker:02X} unsupported"
@@ -377,72 +801,60 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise JpegError("restart intervals unsupported")
         elif marker == 0xDA:
+            if frame is None:
+                raise JpegError("SOS before SOF")
             ns = body[0]
-            scan = []
+            scomps = []
+            by_id = {c["id"]: (c, i) for i, c in enumerate(frame["comps"])}
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
-            break  # entropy data follows at `pos`
-    if frame is None or scan is None:
+                c, ci = by_id[cid]
+                scomps.append((c, ci, {"dc": tabs >> 4, "ac": tabs & 0xF}))
+            ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            end = _entropy_end(data, pos)
+            r = _Reader(data[pos:end])
+            pred = [0] * len(frame["comps"])
+            if not progressive:
+                _decode_baseline_scan(r, coefs_zz, scomps, frame, huff, pred)
+            elif ss == 0:
+                if se != 0:
+                    raise JpegError("progressive DC scan must have Se=0")
+                _decode_dc_scan(
+                    r, coefs_zz, scomps, frame, huff, ah, al, pred
+                )
+            else:
+                if len(scomps) != 1:
+                    raise JpegError("progressive AC scan must be 1-component")
+                c, ci, st = scomps[0]
+                bw, bh = _comp_blocks(frame, c)
+                act = huff[(1, st["ac"])]
+                eobrun = [0]
+                if ah == 0:
+                    _decode_ac_first(
+                        r, coefs_zz[ci], bw, bh, act, ss, se, al, eobrun
+                    )
+                else:
+                    _decode_ac_refine(
+                        r, coefs_zz[ci], bw, bh, act, ss, se, al, eobrun
+                    )
+            n_scans += 1
+            pos = end
+    if frame is None or n_scans == 0:
         raise JpegError("missing SOF0/SOS")
-
-    # entropy segment runs until the EOI marker (stuffed FF00 excluded)
-    end = pos
-    while end + 1 < len(data):
-        if data[end] == 0xFF and data[end + 1] not in (0x00,):
-            break
-        end += 1
-    r = _Reader(data[pos:end])
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {s["id"]: s for s in scan}
-    coefs = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
-        for c in comps
-    ]
-    pred = [0] * len(comps)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, c in enumerate(comps):
-                st = by_id[c["id"]]
-                dct = huff[(0, st["dc"])]
-                act = huff[(1, st["ac"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = _decode_symbol(r, dct)
-                        diff = _extend(r.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(r, act)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(r.bits(size), size)
-                            k += 1
-                        blk = np.empty(64)
-                        blk[ZIGZAG] = zz
-                        coefs[ci][my * c["v"] + by, mx * c["h"] + bx] = (
-                            blk.reshape(8, 8)
-                        )
 
     planes = []
     for ci, c in enumerate(comps):
         qt = qts[c["tq"]]
-        deq = coefs[ci] * qt
+        nb_y, nb_x = coefs_zz[ci].shape[:2]
+        nat = np.zeros((nb_y, nb_x, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = coefs_zz[ci]
+        deq = nat.reshape(nb_y, nb_x, 8, 8) * qt
         px = np.einsum("ji,abjk,kl->abil", _M, deq, _M) + 128.0
         nb_y, nb_x = deq.shape[:2]
         plane = px.transpose(0, 2, 1, 3).reshape(nb_y * 8, nb_x * 8)

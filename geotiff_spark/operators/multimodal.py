@@ -90,7 +90,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         if arr.dtype != np.uint8:
             arr = (arr >> 8).astype(np.uint8)  # 16-bit → high byte
         return arr
-    if payload[:2] == b"\xff\xd8":  # baseline JPEG (round 4, pure numpy)
+    if payload[:2] == b"\xff\xd8":  # JPEG: baseline (r4) + progressive (r6)
         from geotiff_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
@@ -456,6 +456,63 @@ def synth_jpeg_media(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([synth_jpeg_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_progressive_row(mid: int) -> dict:
+    """One deterministic PROGRESSIVE-JPEG media row: same pixel/shape/
+    quality cycling as synth_jpeg_row, but through the SOF2 encoder,
+    whose fixed scan script exercises every progressive scan shape
+    (spectral selection bands, successive approximation 2→1→0, DC
+    refinement, EOB runs, ZRL-in-refinement). Every third image is flat
+    (maximal EOB runs) or spike-sparse (maximal ZRL) to stress the
+    band-skip paths at corpus level, not just in pytest."""
+    from geotiff_spark.functions.jpeg import encode_jpeg_progressive
+
+    mid = int(mid)
+    r = int(_splitmix(np.array([mid], dtype=np.uint64))[0])
+    w, h = 8 + r % 40, 8 + (r >> 8) % 40
+    kind3 = mid % 3
+    quality = (60, 80, 95)[(r >> 16) % 3]
+    texture = mid % 5
+    if kind3 == 0:
+        arr = _fake_pixels(mid, w * h).reshape(h, w, 1)
+        c = 1
+    else:
+        arr = _fake_pixels(mid, w * h * 3).reshape(h, w, 3)
+        c = 3
+    if texture == 3:  # flat: every AC band empty → pure EOB-run scans
+        arr = np.full_like(arr, arr.reshape(-1)[0])
+    elif texture == 4:  # sparse spikes: long zero runs → ZRL paths
+        base = np.zeros_like(arr)
+        base[::3, ::5] = arr[::3, ::5]
+        arr = base
+    payload = encode_jpeg_progressive(
+        arr, quality=quality,
+        subsampling="420" if kind3 == 2 else "444",
+    )
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": w, "height": h, "channels": c,
+            "sample_rate": None, "n_frames": None,
+            "format": "JPEG-progressive",
+        },
+    }
+
+
+def synth_jpeg_progressive_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [synth_jpeg_progressive_row(mid) for mid in pdf["id"]]
+            )
 
     rng = spark.range(0, n, numPartitions=partitions or 8)
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

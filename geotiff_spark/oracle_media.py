@@ -278,6 +278,51 @@ def jpeg_image_features_sql() -> str:
     return f"SELECT * FROM read_parquet('{jpeg_feature_table()}')"
 
 
+N_JPEG_PROG = 120
+
+
+def jpeg_progressive_feature_table() -> str:
+    """Expected image_features rows over the PROGRESSIVE-JPEG corpus.
+    Like every media oracle here, this gate pins distributed-vs-driver
+    consistency over the identical corpus; the codec itself is pinned
+    independently by tests/test_jpeg.py's baseline≡progressive
+    bit-equality (same quantized coefficients through both entropy
+    codings must decode to the same pixels) and quantization-bounded
+    roundtrips — a bug identical in BOTH decode directions is the only
+    shape this cannot see (no external decoder in this sandbox)."""
+    import pandas as pd
+
+    from geotiff_spark.operators.multimodal import (
+        decode_image, synth_jpeg_progressive_row,
+    )
+
+    path = f"{ORACLE_DIR}/jpeg_progressive_features_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_JPEGP_DONE_{N_JPEG_PROG}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_JPEG_PROG):
+        arr = decode_image(synth_jpeg_progressive_row(mid)["payload"])
+        means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        rows.append((mid, arr.shape[1], arr.shape[0], float(means[0]),
+                     float(means[1]) if len(means) > 1 else None,
+                     float(means[2]) if len(means) > 2 else None,
+                     float(arr.mean(axis=2).std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_r", "mean_g",
+                       "mean_b", "std_gray"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def jpeg_progressive_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{jpeg_progressive_feature_table()}')"
+
+
 N_GIF = 120
 
 

@@ -70,12 +70,19 @@ def test_rejects_non_baseline():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"nope")
     good = bytearray(encode_jpeg(_smooth(8, 8)[:, :, None]))
-    # flip SOF0 -> SOF2 (progressive)
     i = bytes(good).find(b"\xff\xc0")
+    # flip SOF0 -> SOF3 (lossless) — still unsupported
     bad = good.copy()
-    bad[i + 1] = 0xC2
+    bad[i + 1] = 0xC3
     with pytest.raises(JpegError, match="non-baseline"):
         decode_jpeg(bytes(bad))
+    # SOF2 is supported since round 6, but a baseline stream merely
+    # RELABELED progressive is malformed: its single scan spans the
+    # full band, which progressive mode forbids
+    bad2 = good.copy()
+    bad2[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="Se=0"):
+        decode_jpeg(bytes(bad2))
     with pytest.raises(JpegError):
         decode_jpeg(bytes(good[: len(good) // 2]))  # truncated
 
@@ -87,3 +94,60 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(encode_jpeg(arr, quality=100))
     assert out.shape == arr.shape
     assert np.abs(out.astype(int) - arr.astype(int)).max() <= 1
+
+
+# ---- progressive (SOF2), round 6 --------------------------------------------
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """encode_jpeg and encode_jpeg_progressive share the quantization
+    front half, so the two entropy codings carry IDENTICAL coefficients
+    — the decoders must produce bit-equal pixels. This pins the whole
+    progressive machinery (spectral bands, successive approximation,
+    DC refinement, EOB runs) against the tested baseline path."""
+    from geotiff_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for h, w, c, sub in [(8, 8, 1, "444"), (16, 24, 3, "444"),
+                         (33, 17, 3, "420"), (9, 31, 3, "420"),
+                         (1, 1, 1, "444"), (7, 3, 3, "444")]:
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for q in (60, 95, 100):
+            b = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+            p = decode_jpeg(
+                encode_jpeg_progressive(arr, quality=q, subsampling=sub))
+            assert np.array_equal(b, p), (h, w, c, sub, q)
+
+
+def test_progressive_eob_and_zrl_paths():
+    """Flat images make every AC band empty (maximal EOB runs across
+    blocks); sparse spikes make long in-block zero runs (ZRL, including
+    ZRL inside refinement scans). Both must still match baseline."""
+    from geotiff_spark.functions.jpeg import encode_jpeg_progressive
+
+    flat = np.full((48, 56, 3), 77, np.uint8)
+    spikes = np.zeros((40, 40, 1), np.uint8)
+    spikes[::3, ::5] = 255
+    for arr, sub in ((flat, "420"), (flat, "444"), (spikes, "444")):
+        for q in (60, 100):
+            b = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+            p = decode_jpeg(
+                encode_jpeg_progressive(arr, quality=q, subsampling=sub))
+            assert np.array_equal(b, p)
+
+
+def test_progressive_quality100_near_exact():
+    from geotiff_spark.functions.jpeg import encode_jpeg_progressive
+
+    arr = _smooth(24, 40)[:, :, None]
+    out = decode_jpeg(encode_jpeg_progressive(arr, quality=100))
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_progressive_stream_is_multi_scan_sof2():
+    from geotiff_spark.functions.jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_smooth(16, 16)[:, :, None], quality=80)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # gray scan script: DC first + 2 AC-first bands + DC refine +
+    # 2 bands x 2 refinement levels = 8 SOS markers
+    assert data.count(b"\xff\xda") == 8
