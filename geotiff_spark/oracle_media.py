@@ -361,6 +361,15 @@ N_WEBP = 120
 
 
 def webp_feature_table() -> str:
+    """Expected image_features rows over the VP8L corpus. LIMITATION
+    (ADVICE r05): this oracle decodes synth_webp_row payloads with the
+    same decode_image/VP8L code path the engine uses, so the gate
+    verifies distributed-vs-driver consistency only — a codec bug
+    identical on both sides is invisible. The codec itself is pinned by
+    tests/test_webp.py's encoder↔decoder roundtrips (lossless, so
+    bit-exact) across transforms/cache/meta-prefix variants; where an
+    environment has Pillow/libwebp, add a cross-decoder parity test
+    over the same corpus."""
     import pandas as pd
 
     from geotiff_spark.operators.multimodal import decode_image, synth_webp_row

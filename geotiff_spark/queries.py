@@ -822,79 +822,74 @@ def streaming_queries() -> Registry:
 # tests/test_registry_order.py enforces this contract.
 DRIVER_WINDOW = 50
 
-# Queries born AFTER the round-5 window filled (every in-window slot is
-# pinned this round: the ≤2-round rotation mandates r05 rows for the 35
-# rotated-in entries, the gates/no-oracle/_exact groups are structural,
-# and the other round-5 newcomers need their first driver row). Allowed
-# in the tail ONLY because the committed current-round full-registry
-# self-run (BENCH/ORACLE_SELF_r05.txt) records them oracle-hash-green;
-# they are FIRST in line for the round-6 window rotation.
-# tests/test_registry_order.py caps this list at 3 and verifies the
-# self-run row exists.
-SELF_RUN_ONLY_NEW = [
-    "mixture_sample",
-    "url_canonical_dedup",
-]
+# Round 6: the ≤2-round rotation ping-pongs the halves — every entry
+# whose last driver row is r04 rotates back IN (33 of them; 5
+# long-stable relational fillers wait one more round in the stale tail,
+# cap 14), joined by the 3 r03-only entries (median_price, train_split,
+# dedup_keeper — their mandated turn), the 2 round-5 self-run-only
+# newcomers (mixture_sample, url_canonical_dedup — the escape-hatch
+# contract), the 3 `_exact` primaries (structural), the 5 queries whose
+# CODE changed this round and need fresh driver rows (the four
+# md5-oracle conversions minhash_lsh_pairs / simhash_pairs /
+# ann_lsh_topk / ann_ivf_topk, and pack_sequences' NULL guard), and the
+# 4 brand-new round-6 queries (bpe_encode, pack_sequences_bpe,
+# repeated_ngrams, jpeg_progressive_features). Exactly 50.
+SELF_RUN_ONLY_NEW: list[str] = []
 
 TAIL_QUERIES = [
-    *SELF_RUN_ONLY_NEW,
-    # ROTATED OUT round 5 (hash-green in the r04 driver window; stable
-    # code): frees window slots for the 21 r03-tailed entries and the
-    # 14 r02-tailed relational fillers whose turn the ≤2-round rotation
-    # rule mandates this round. Stays in-window regardless: the four
-    # no_oracle queries + their gates, the three `_exact` primaries,
-    # chunk_dedup (rewritten round 5 — needs a fresh driver row for the
-    # skew fix), and the round-5 additions (webp_image_features,
-    # decontaminate, pii_scrub). cell_assign and stream_dedup_users
-    # (both r04-green; the strengthened dedup-gate assertion runs
-    # wherever the query runs, incl. the committed full-registry
-    # self-run) take the tail to hold the window at 50.
-    # ROTATED OUT round 5 (second wave, r03-green, stable code since
-    # round 2): frees window slots for the three NEW round-5 queries
-    # (bloom_chunk_dedup, trigram_lm_score, pack_sequences), which must
-    # take driver rows their first round. First in line to rotate back
-    # in round 6 (r03 is then the older green round).
-    "median_price",
-    "train_split",
-    "dedup_keeper",
-    "cell_assign",
-    "stream_dedup_users",
-    "pip_join",
-    "pip_counts",
-    "zonal_stats",
-    "zonal_stats_copart",
-    "zonal_mode",
-    "tiepoints_sample",
-    "u64_exact_sample",
-    "knn_join",
-    "cell_compact",
-    "png_image_features",
-    "png_resize_features",
-    "jpeg_image_features",
-    "gif_image_features",
-    "wav_audio_features",
-    "y4m_frame_sample",
-    "tile_stats",
-    "focal_stats",
-    "stream_window_counts",
-    "stream_session_counts",
-    "stream_join_enrich",
-    "stream_stream_join",
-    "stream_custom_state",
-    "ngram_jaccard_pairs",
-    "embedding_near_dups_planted",
-    "rep_signals",
+    # stale tail (green r04, waiting one round — MUST enter the r07
+    # window): long-stable relational fillers, unchanged since round 2
     "rollup_region_nation",
     "cube_status_priority",
-    "range_join",
-    "asof_latest_event",
-    "sessionize",
-    "hourly_gapfill",
-    "window_lag_delta",
-    "window_rolling_sum",
     "grouping_sets",
     "pivot_status_by_priority",
     "window_distribution",
+    # ROTATED OUT round 6 (hash-green in the r05 driver window; code
+    # unchanged this round except bloom_chunk_dedup/chunk_dedup whose
+    # sf0.01 oracle gates were re-run green after the round-6 bloom
+    # build-path changes — recorded in the r06 self-run)
+    "salted_join",
+    "image_features",
+    "webp_image_features",
+    "audio_features",
+    "video_frame_sample",
+    "pyramid_stats",
+    "vectorize",
+    "exact_dedup",
+    "token_jaccard_pairs",
+    "ann_cosine_topk",
+    "minhash_recall",
+    "simhash_complete",
+    "ann_recall",
+    "ann_ivf_gate",
+    "chunk_dedup",
+    "bloom_chunk_dedup",
+    "trigram_lm_score",
+    "decontaminate",
+    "pii_scrub",
+    "url_domain_stats",
+    "tfidf_top_terms",
+    "token_count",
+    "language_id",
+    "quality_features",
+    "fingerprint",
+    "filter_project",
+    "agg_pricing_summary",
+    "distinct_customers",
+    "approx_distinct",
+    "approx_quantiles",
+    "broadcast_join_brand_volume",
+    "multi_join_revenue_by_region",
+    "semi_join",
+    "anti_join",
+    "window_topn_orders",
+    "global_topk",
+    "set_ops",
+    "scalar_functions",
+    "json_extract",
+    "top_tokens",
+    "haversine_to_vienna",
+    "small_quantity_revenue",
     # exact quadratic baselines — same oracle as their in-window primary
     "dedup_components_exact",
     "corpus_curation_exact",

@@ -218,3 +218,68 @@ def test_url_canonical_dedup_single_exchange(spark):
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_bpe_encode_plan_is_pure_map(spark):
+    """BPE apply is a map: whitespace split JVM-side, one ArrowEvalPython
+    for the merge loop, zero Exchange — at 10^12 docs this is a scan."""
+    from geotiff_spark.operators.bpe import bpe_encode_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+    plan = _plan(bpe_encode_counts(docs))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the only exchange is the input's own repartition
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_repeated_ngrams_partial_agg_and_take_ordered(spark):
+    """The gram aggregation must partial-aggregate map-side (digest
+    exchange sits above a partial_count — each map task ships one row
+    per distinct gram, never one per occurrence) and the top-N must be
+    TakeOrdered, not a global sort."""
+    from geotiff_spark.operators.dedup import repeated_ngram_mine
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repeated_ngram_mine(docs, n=13, min_count=2, top_n=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+    # no Python anywhere: gram extraction is JVM codegen
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_sharded_probe_plan_has_no_shuffle(spark):
+    """The segmented-broadcast probe keeps the packed path's shape:
+    one ArrowEvalPython over JVM-computed positions, zero Exchange."""
+    from geotiff_spark.operators import dedup
+
+    hist = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id")).alias("text"))
+    new = spark.range(50).select(
+        F.concat(F.lit("n"), F.col("id")).alias("text"))
+    bits = dedup.bloom_bit_set(hist, "text", m=256, k=4)
+    packed = dedup.bloom_pack(bits, m=256, k=4)
+    out = dedup.bloom_membership_packed(
+        new, packed, "text", m=256, k=4, n_segments=3)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_bloom_words_probe_shuffles_integers_only(spark):
+    """The m-unbounded word-table probe may shuffle, but only the
+    integer decision plane: no text column appears in any exchange."""
+    from geotiff_spark.operators import dedup
+
+    hist = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id")).alias("text"))
+    new = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("n"), F.col("id")).alias("text"))
+    bits = dedup.bloom_bit_set(hist, "text", m=256, k=4)
+    words = dedup.bloom_word_table(bits)
+    out = dedup.bloom_membership_words(
+        new, words, ["doc_id"], "text", m=256, k=4)
+    import re
+    plan = _plan(out)
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, f"text shuffled on ({args}):\n{plan}"

@@ -47,7 +47,14 @@ def _tiled(seed, h, w, th=4, tw=4):
     {"meta_bits": 3, "use_lz77": True, "cache_bits": 6},
 ])
 def test_roundtrip_variants(kw):
-    img = _tiled(hash(str(kw)) % 1000, 21, 27)
+    # md5, not hash(): python string hashing is salted per process
+    # (PYTHONHASHSEED), which made the tested pixels differ run to run
+    # — a failure found once would not reproduce (ADVICE r05)
+    import hashlib
+
+    seed = int(hashlib.md5(str(sorted(kw.items())).encode())
+               .hexdigest()[:8], 16) % 1000
+    img = _tiled(seed, 21, 27)
     out = decode_webp(encode_webp_lossless(img, **kw))
     assert np.array_equal(out[:, :, :3], img)
     assert (out[:, :, 3] == 255).all()
