@@ -176,6 +176,19 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         )
         return force_all(bloom_incremental_frame(pages, n_segments=4))
 
+    def bpe_encode_pages2m():
+        """Round-6: real-BPE tokenization throughput at 2M pages — the
+        merges-table greedy apply in an Arrow batch with per-batch word
+        memoization (operators/bpe.py). Zero shuffle; the wall is the
+        Python merge-loop stage, amortized by the word cache (~290k
+        pages/s warm)."""
+        from geotiff_spark.operators.bpe import bpe_encode_counts
+
+        pages = spark.read.parquet(bign_path).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        return force_all(bpe_encode_counts(pages))
+
     out = {
         "pages_e2e": pages_e2e,
         "pages_e2e_twostage": pages_e2e_twostage,
@@ -184,6 +197,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         "chunk_dedup_pages2m": chunk_dedup_pages2m,
         "rep_signals_pages2m": rep_signals_pages2m,
         "bloom_dedup_pages2m": bloom_dedup_pages2m,
+        "bpe_encode_pages2m": bpe_encode_pages2m,
     }
     for name in picks + ["embedding_near_dups"]:
         fn, _sql = reg[name]
@@ -242,6 +256,9 @@ COMMITTED_BANDS = {
     # (seed,pos) set — the SizeEstimator bimodality source — and the
     # redundant pre-bit_or distinct); quiet-host runs land 9-17 s
     "bloom_dedup_pages2m": 20.0,
+    # round 6: merges-table BPE apply at 2M pages (6.9-14.3 s warm,
+    # 53 s cold-read first pass — the band covers warm+retry)
+    "bpe_encode_pages2m": 12.0,
 }
 
 
