@@ -5,10 +5,10 @@ entry(spark)   — flagship spatial pipeline at sf0.001 (geo documents →
                  stats).
 queries()      — every implemented operator from SURVEY.md §2 as
                  (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching DuckDB SQL for each query where the semantics
-                 are SQL-expressible (probabilistic LSH/simhash/HLL
-                 variants excluded by design; pytest verifies those
-                 against exact baselines).
+oracle_sql()   — matching DuckDB SQL for EVERY query (full coverage
+                 since round 6: the formerly-probabilistic LSH/simhash/
+                 ANN variants run md5-derived hash/plane/anchor modes
+                 whose oracles replay them bit-for-bit).
 """
 
 from __future__ import annotations

@@ -704,6 +704,89 @@ def repeated_ngram_mine(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 50,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. 2022 "Deduplicating
+    Training Data" ExactSubstr operation, Spark-shaped): any k-char
+    window occurring ≥2 times corpus-wide marks its span; every marked
+    character is removed. Unlike chunk/n-gram dedup this is
+    position-exact — a duplicated passage is excised wherever it sits,
+    with no boundary or tokenization blind spots.
+
+    Returns (key, n_chars, n_removed, cleaned_len, cleaned_md5) — the
+    decision/verification plane; producing the cleaned corpus itself is
+    the same plan minus the md5 projection.
+
+    Scale shape: window digests are row-local JVM (substr → md5); the
+    duplicate-window detection is ONE partial-aggregatable groupBy on
+    the digest (the exchange carries (digest, count) pairs — at 100 TB
+    this is the honest cost of exact substring dedup and the knob is a
+    minimizer/stride sample of window positions, which trades exactness
+    for volume); marked start-positions come back via one join and a
+    per-doc integer aggregation, and the span removal is one row-local
+    Arrow batch pass. The text crosses the wire exactly once (the final
+    doc join), like chunk_dedup's data plane. md5 digests keep the
+    DuckDB oracle bit-exact."""
+    win = (
+        df.filter(F.col(text).isNotNull())
+        .select(
+            F.col(key),
+            F.posexplode(
+                F.when(
+                    F.length(text) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+                        lambda i: F.md5(F.col(text).substr(i, F.lit(k))),
+                    ),
+                ).otherwise(F.array())
+            ).alias("pos0", "d"),
+        )
+    )
+    dup = (
+        win.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("d")
+    )
+    marks = (
+        win.join(dup, "d")
+        .groupBy(key)
+        .agg(F.collect_list(F.col("pos0") + 1).alias("starts"))
+    )
+
+    @pandas_udf("string")
+    def cleaned_udf(texts: pd.Series, starts: pd.Series) -> pd.Series:
+        out = []
+        for t, st in zip(texts, starts):
+            if t is None:
+                out.append(None)
+                continue
+            if st is None or len(st) == 0:
+                out.append(t)
+                continue
+            mask = np.zeros(len(t), dtype=bool)
+            for s in st:
+                mask[int(s) - 1: int(s) - 1 + k] = True
+            out.append("".join(ch for ch, m in zip(t, mask) if not m))
+        return pd.Series(out, dtype=object)
+
+    base = df.filter(F.col(text).isNotNull()).join(marks, key, "left")
+    cleaned = cleaned_udf.asNondeterministic()(
+        F.col(text), F.col("starts")
+    ).alias("cleaned")
+    return base.select(F.col(key), F.col(text), cleaned).select(
+        F.col(key),
+        F.length(text).alias("n_chars"),
+        (F.length(text) - F.length("cleaned")).alias("n_removed"),
+        F.length("cleaned").alias("cleaned_len"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
 # ---- Bloom-filter incremental dedup -----------------------------------------
 #
 # The 100 TB incremental-crawl path: dedup TODAY's batch against the

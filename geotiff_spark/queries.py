@@ -834,9 +834,16 @@ DRIVER_WINDOW = 50
 # ann_lsh_topk / ann_ivf_topk, and pack_sequences' NULL guard), and the
 # 4 brand-new round-6 queries (bpe_encode, pack_sequences_bpe,
 # repeated_ngrams, jpeg_progressive_features). Exactly 50.
-SELF_RUN_ONLY_NEW: list[str] = []
+# Born after the round-6 window filled (all 50 slots are mandated by
+# the rotation contract — see the block comment above); hash-green in
+# the committed round-6 full-registry self-run, first in line for the
+# r07 window.
+SELF_RUN_ONLY_NEW: list[str] = [
+    "substring_dedup",
+]
 
 TAIL_QUERIES = [
+    *SELF_RUN_ONLY_NEW,
     # stale tail (green r04, waiting one round — MUST enter the r07
     # window): long-stable relational fillers, unchanged since round 2
     "rollup_region_nation",

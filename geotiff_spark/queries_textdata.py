@@ -1935,6 +1935,51 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"[0-9]{9,}"
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr): remove every
+    character covered by a 50-char window that occurs ≥2 times
+    corpus-wide. Position-exact — no chunk-boundary or tokenization
+    blind spots (dedup.exact_substring_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(docs, k=50)
+
+
+SQL_SUBSTRING_DEDUP = """
+WITH docs_t AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 50)) AS d
+  FROM docs_t, unnest(range(1, len(text) - 48)) t(i)
+),
+dup AS (SELECT d FROM win GROUP BY d HAVING COUNT(*) >= 2),
+cover AS (
+  SELECT DISTINCT w.doc_id, w.i + o AS p
+  FROM win w JOIN dup USING (d), range(0, 50) t(o)
+),
+chars AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INT), 1) AS ch
+  FROM docs_t, unnest(range(1, len(text) + 1)) t(p)
+),
+cleaned AS (
+  SELECT c.doc_id,
+         COALESCE(
+           string_agg(CASE WHEN v.p IS NULL THEN c.ch END, ''
+                      ORDER BY c.p),
+           '') AS cleaned
+  FROM chars c LEFT JOIN cover v ON v.doc_id = c.doc_id AND v.p = c.p
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.text) AS INT) AS n_chars,
+       CAST(len(d.text) - len(COALESCE(cl.cleaned, d.text)) AS INT)
+         AS n_removed,
+       CAST(len(COALESCE(cl.cleaned, d.text)) AS INT) AS cleaned_len,
+       md5(COALESCE(cl.cleaned, d.text)) AS cleaned_md5
+FROM docs_t d LEFT JOIN cleaned cl USING (doc_id)
+"""
+
+
 def q_bpe_encode(spark, sf_dir):
     """Real merges-table BPE apply (operators/bpe.py): per-doc word and
     BPE-token counts under the fixed DEFAULT_MERGES vocabulary. The
@@ -2212,6 +2257,7 @@ def textdata_queries():
         "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
         "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
         "pack_sequences_bpe": (q_pack_sequences_bpe, SQL_PACK_SEQUENCES_BPE),
+        "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),

@@ -307,3 +307,41 @@ def test_repeated_ngram_mine_catches_straddling_duplicates(spark):
     assert top[0]["gram"] == passage
     assert top[0]["n_docs"] == 2 and top[0]["n_occ"] == 2
     assert top[0]["rank"] == 1
+
+
+def test_exact_substring_dedup_planted_spans(spark):
+    """Planted 60-char passage duplicated across two docs at DIFFERENT
+    offsets must be excised from both, exactly the covered span; a
+    fully-duplicated doc cleans to empty; a unique doc is untouched;
+    sub-k docs have no windows at all."""
+    passage = ("x" * 25 + "THE-DUPLICATED-PASSAGE-" + "y" * 12)  # 60 chars
+    assert len(passage) == 60
+    # aperiodic by construction (positions encoded) — a modular-stride
+    # sequence like chr(97 + 7i % 26) has period 26, so ALL its windows
+    # would be corpus-duplicates of each other
+    uniq = "".join(format(i, "02d") for i in range(60))  # 120 chars
+    docs = [
+        (0, "A" * 30 + passage + "B" * 30),
+        (1, "C" * 11 + passage + "D" * 49),
+        (2, uniq),            # no duplicate windows
+        (3, uniq[:40]),       # shorter than k -> no windows
+        (4, passage),         # exactly the passage, duplicated elsewhere
+        (5, passage),         # its twin -> both clean to empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(df, k=50).collect()}
+    # docs 0/1: every window containing any passage char that also
+    # occurs in the other doc marks it; the 60-char passage occurs
+    # twice, so all its windows are duplicated -> the full passage goes,
+    # plus any flanking chars caught inside duplicated windows. The
+    # flanks ("A"*30 vs "C"*11) differ between docs, so windows
+    # STRADDLING flank+passage are unique - removal is exactly the span.
+    assert out[0]["n_removed"] == 60
+    assert out[1]["n_removed"] == 60
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_len"] == 40
+    assert out[4]["cleaned_len"] == 0 and out[5]["cleaned_len"] == 0
+    import hashlib
+    assert out[0]["cleaned_md5"] == hashlib.md5(
+        ("A" * 30 + "B" * 30).encode()).hexdigest()
