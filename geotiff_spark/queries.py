@@ -822,81 +822,72 @@ def streaming_queries() -> Registry:
 # tests/test_registry_order.py enforces this contract.
 DRIVER_WINDOW = 50
 
-# Round 6: the ≤2-round rotation ping-pongs the halves — every entry
-# whose last driver row is r04 rotates back IN (33 of them; 5
+# Round 7: the ≤2-round rotation ping-pongs the halves again — every
+# entry whose last driver row is r05 rotates back IN (39 of the 42; 3
 # long-stable relational fillers wait one more round in the stale tail,
-# cap 14), joined by the 3 r03-only entries (median_price, train_split,
-# dedup_keeper — their mandated turn), the 2 round-5 self-run-only
-# newcomers (mixture_sample, url_canonical_dedup — the escape-hatch
-# contract), the 3 `_exact` primaries (structural), the 5 queries whose
-# CODE changed this round and need fresh driver rows (the four
-# md5-oracle conversions minhash_lsh_pairs / simhash_pairs /
-# ann_lsh_topk / ann_ivf_topk, and pack_sequences' NULL guard), and the
-# 4 brand-new round-6 queries (bpe_encode, pack_sequences_bpe,
-# repeated_ngrams, jpeg_progressive_features). Exactly 50.
-# Born after the round-6 window filled (all 50 slots are mandated by
-# the rotation contract — see the block comment above); hash-green in
-# the committed round-6 full-registry self-run, first in line for the
-# r07 window.
-SELF_RUN_ONLY_NEW: list[str] = [
-    "substring_dedup",
-]
+# cap 14), joined by the 6 mandated entries (substring_dedup — the r06
+# self-run-only newcomer — and the 5 r04-stale relational fillers
+# rollup/cube/grouping_sets/pivot/window_distribution at their 2-round
+# limit), the 3 `_exact` primaries (structural), and the 2 queries
+# whose CODE changes this round and need fresh driver rows (bpe_encode
+# and pack_sequences_bpe — U+001F separator guard + trained-table
+# plumbing). Exactly 50.
+SELF_RUN_ONLY_NEW: list[str] = []
 
 TAIL_QUERIES = [
     *SELF_RUN_ONLY_NEW,
-    # stale tail (green r04, waiting one round — MUST enter the r07
+    # stale tail (green r05, waiting one round — MUST enter the r08
     # window): long-stable relational fillers, unchanged since round 2
-    "rollup_region_nation",
-    "cube_status_priority",
-    "grouping_sets",
-    "pivot_status_by_priority",
-    "window_distribution",
-    # ROTATED OUT round 6 (hash-green in the r05 driver window; code
-    # unchanged this round except bloom_chunk_dedup/chunk_dedup whose
-    # sf0.01 oracle gates were re-run green after the round-6 bloom
-    # build-path changes — recorded in the r06 self-run)
-    "salted_join",
-    "image_features",
-    "webp_image_features",
-    "audio_features",
-    "video_frame_sample",
-    "pyramid_stats",
-    "vectorize",
-    "exact_dedup",
-    "token_jaccard_pairs",
-    "ann_cosine_topk",
-    "minhash_recall",
-    "simhash_complete",
-    "ann_recall",
-    "ann_ivf_gate",
-    "chunk_dedup",
-    "bloom_chunk_dedup",
-    "trigram_lm_score",
-    "decontaminate",
-    "pii_scrub",
-    "url_domain_stats",
-    "tfidf_top_terms",
-    "token_count",
-    "language_id",
-    "quality_features",
-    "fingerprint",
-    "filter_project",
-    "agg_pricing_summary",
-    "distinct_customers",
-    "approx_distinct",
-    "approx_quantiles",
-    "broadcast_join_brand_volume",
-    "multi_join_revenue_by_region",
-    "semi_join",
-    "anti_join",
-    "window_topn_orders",
-    "global_topk",
-    "set_ops",
-    "scalar_functions",
-    "json_extract",
     "top_tokens",
     "haversine_to_vienna",
     "small_quantity_revenue",
+    # ROTATED OUT round 7 (hash-green in the r06 driver window; code
+    # unchanged this round)
+    "cell_assign",
+    "pip_join",
+    "pip_counts",
+    "zonal_stats",
+    "zonal_stats_copart",
+    "zonal_mode",
+    "tiepoints_sample",
+    "u64_exact_sample",
+    "knn_join",
+    "cell_compact",
+    "png_image_features",
+    "png_resize_features",
+    "jpeg_image_features",
+    "jpeg_progressive_features",
+    "gif_image_features",
+    "wav_audio_features",
+    "y4m_frame_sample",
+    "tile_stats",
+    "focal_stats",
+    "median_price",
+    "stream_window_counts",
+    "stream_session_counts",
+    "stream_dedup_users",
+    "stream_join_enrich",
+    "stream_stream_join",
+    "stream_custom_state",
+    "ngram_jaccard_pairs",
+    "train_split",
+    "mixture_sample",
+    "url_canonical_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dups_planted",
+    "dedup_keeper",
+    "pack_sequences",
+    "rep_signals",
+    "repeated_ngrams",
+    "range_join",
+    "asof_latest_event",
+    "sessionize",
+    "hourly_gapfill",
+    "window_lag_delta",
+    "window_rolling_sum",
     # exact quadratic baselines — same oracle as their in-window primary
     "dedup_components_exact",
     "corpus_curation_exact",

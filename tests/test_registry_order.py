@@ -13,8 +13,8 @@ from geotiff_spark.queries import (
     DRIVER_WINDOW, SELF_RUN_ONLY_NEW, TAIL_QUERIES, registry,
 )
 
-R04 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
 R05 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+R06 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json")
 
 
 def test_every_query_has_fn_and_registry_is_well_formed():
@@ -53,10 +53,10 @@ def test_tail_entries_are_individually_justified():
     reg = registry()
     names = list(reg)
     head = set(names[:DRIVER_WINDOW])
-    with open(R04) as fh:
-        r04 = json.load(fh)
     with open(R05) as fh:
         r05 = json.load(fh)
+    with open(R06) as fh:
+        r06 = json.load(fh)
 
     assert len(SELF_RUN_ONLY_NEW) <= 3, (
         "SELF_RUN_ONLY_NEW is a narrow escape hatch for queries born "
@@ -88,8 +88,8 @@ def test_tail_entries_are_individually_justified():
                 f"{q} must share its oracle with in-window {primary}"
             )
         else:
-            recent = r05.get(q, {}).get("hash_match")
-            older = r04.get(q, {}).get("hash_match")
+            recent = r06.get(q, {}).get("hash_match")
+            older = r05.get(q, {}).get("hash_match")
             assert recent or older, (
                 f"{q} is past the driver window with no green row in the "
                 "last two driver rounds — move it inside the window"
