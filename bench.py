@@ -329,13 +329,16 @@ def main() -> int:
         band = COMMITTED_BANDS.get(name, 2.5)
         # diagnostics are context, not the record — one re-run at most
         factor = 1.0 if name in DIAGNOSTIC_QUERIES else retry_factor
-        q_start = time.time()
-        q_deadline = min(
-            q_start + max(factor * band, 10.0), hard_deadline
-        )
         t0 = time.time()
         counts[name] = fn()
         dt = round(time.time() - t0, 3)
+        # the retry allowance budgets RE-RUNS only — anchoring it before
+        # the first pass meant a burst-hit first pass consumed the whole
+        # allowance and got zero re-runs, exactly the case retries exist
+        # for (ADVICE r06)
+        q_deadline = min(
+            time.time() + max(factor * band, 10.0), hard_deadline
+        )
         # co-tenant noise protection (see BENCH/BASELINE.md methodology):
         # a run inside the query's committed band is the engine's number
         # and is accepted as-is; a run over the band is a suspected
@@ -351,6 +354,31 @@ def main() -> int:
             # or a stale band; both demand a human look.
             over_band[name] = round(dt / band, 2)
         (diagnostics if name in DIAGNOSTIC_QUERIES else timings)[name] = dt
+
+    # End-of-suite re-queue for flagged non-diagnostic entries (VERDICT
+    # r06 #6): a co-tenant burst usually passes within the suite's own
+    # wall, so anything still over 2x band gets one more attempt each at
+    # the end — the record keeps the min; a still-over row is then a
+    # genuine sustained burst (or a stale band), not a scheduling
+    # accident of when its slot in the suite happened to land.
+    for name in [n for n in over_band if n in timings]:
+        if time.time() >= hard_deadline:
+            break
+        fn = qs[name]
+        band = COMMITTED_BANDS.get(name, 2.5)
+        requeue_deadline = min(
+            time.time() + max(retry_factor * band, 10.0), hard_deadline
+        )
+        dt = timings[name]
+        while dt > band and time.time() < requeue_deadline:
+            t0 = time.time()
+            fn()
+            dt = min(dt, round(time.time() - t0, 3))
+        timings[name] = dt
+        if dt <= 2.0 * band:
+            del over_band[name]
+        else:
+            over_band[name] = round(dt / band, 2)
 
     # THE pages/sec metric: steady-state throughput at >= 2M pages, so
     # the ~2s Python-worker spin-up wave is amortized and round-over-round

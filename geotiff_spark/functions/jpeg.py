@@ -282,31 +282,7 @@ def encode_jpeg(
                     for bx in range(sh):
                         blk = blocks[ci][my * sv + by, mx * sh + bx]
                         zz = blk.reshape(-1)[ZIGZAG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        t, bitsv = _magnitude(diff)
-                        c, ln = dc_code[t]
-                        wtr.put(c, ln)
-                        if t:
-                            wtr.put(bitsv, t)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                c, ln = ac_code[0xF0]
-                                wtr.put(c, ln)
-                                run -= 16
-                            t, bitsv = _magnitude(v)
-                            c, ln = ac_code[(run << 4) | t]
-                            wtr.put(c, ln)
-                            wtr.put(bitsv, t)
-                            run = 0
-                        if run:
-                            c, ln = ac_code[0x00]  # EOB
-                            wtr.put(c, ln)
+                        _put_block(wtr, zz, pred, ci, dc_code, ac_code)
     wtr.flush()
 
     sos = bytes([len(samp)])
@@ -315,6 +291,68 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _put_block(wtr, zz, pred, ci, dc_code, ac_code):
+    """Entropy-encode one zigzag block (sequential full-band)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t, bitsv = _magnitude(diff)
+    c, ln = dc_code[t]
+    wtr.put(c, ln)
+    if t:
+        wtr.put(bitsv, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_code[0xF0]
+            wtr.put(c, ln)
+            run -= 16
+        t, bitsv = _magnitude(v)
+        c, ln = ac_code[(run << 4) | t]
+        wtr.put(c, ln)
+        wtr.put(bitsv, t)
+        run = 0
+    if run:
+        c, ln = ac_code[0x00]  # EOB
+        wtr.put(c, ln)
+
+
+def encode_jpeg_multiscan(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Baseline SOF0 with one NON-interleaved full-band scan per
+    component (legal baseline; T.81 A.2.2 block order) — the corpus
+    generator for the foreign per-component-scan shape that exercises
+    the decoder's single-component own-grid walk (ADVICE r06). Same
+    quantization front half as encode_jpeg, so decodes of the two
+    layouts must be bit-identical."""
+    h, w, samp, comp_q, qts, blocks, mcux, mcuy = _prepare_blocks(
+        arr, quality, subsampling
+    )
+    out, dc_code, ac_code = _header_segments(h, w, samp, comp_q, qts, 0xC0)
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    for ci in range(len(samp)):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        wtr = _Writer()
+        pred = [0] * len(samp)  # DC prediction resets at each scan
+        for by in range(bh):
+            for bx in range(bw):
+                zz = blocks[ci][by, bx].reshape(-1)[ZIGZAG]
+                _put_block(wtr, zz, pred, ci, dc_code, ac_code)
+        wtr.flush()
+        out += _seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += wtr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -687,9 +725,44 @@ def _decode_ac_refine(r, arr, bw, bh, act, ss, se, al, eobrun):
                 eobrun[0] -= 1
 
 
+def _baseline_block(r, zz, dct, act, pred, ci):
+    """Full-band sequential DC+AC decode of one 8x8 block."""
+    t = _decode_symbol(r, dct)
+    diff = _extend(r.bits(t), t) if t else 0
+    pred[ci] += diff
+    zz[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise JpegError("AC run past block end")
+        zz[k] = _extend(r.bits(size), size)
+        k += 1
+
+
 def _decode_baseline_scan(r, coefs_zz, scomps, frame, huff, pred):
-    """Sequential scan: interleaved MCU walk, full-band DC+AC decode."""
+    """Sequential scan: interleaved MCU walk for multi-component scans;
+    a single-component scan is NON-interleaved over that component's
+    own block grid (T.81 A.2.2) — the padded-MCU walk would misalign
+    foreign per-component / multi-scan baseline files (ADVICE r06),
+    exactly as on the progressive DC path."""
     comps = frame["comps"]
+    if len(scomps) == 1:
+        c, ci, st = scomps[0]
+        bw, bh = _comp_blocks(frame, c)
+        dct = huff[(0, st["dc"])]
+        act = huff[(1, st["ac"])]
+        for by in range(bh):
+            for bx in range(bw):
+                _baseline_block(r, coefs_zz[ci][by, bx], dct, act, pred, ci)
+        return
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
@@ -702,24 +775,7 @@ def _decode_baseline_scan(r, coefs_zz, scomps, frame, huff, pred):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = coefs_zz[ci][my * c["v"] + by, mx * c["h"] + bx]
-                        t = _decode_symbol(r, dct)
-                        diff = _extend(r.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(r, act)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(r.bits(size), size)
-                            k += 1
+                        _baseline_block(r, zz, dct, act, pred, ci)
 
 
 def _decode_jpeg_inner(data: bytes) -> np.ndarray:

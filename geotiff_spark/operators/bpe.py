@@ -53,6 +53,14 @@ DEFAULT_MERGES: list[tuple[str, str]] = [
 ]
 
 
+# Pre-tokenization splits on whitespace AND U+001F: the DuckDB oracle
+# replays the merge loop over chr(31)-separated token states, so a word
+# containing the separator would silently diverge (ADVICE r06). Treating
+# it as a word boundary on BOTH sides makes the equivalence precondition
+# structural instead of an assumption about the corpus.
+_WORD_SEP = r"[\s\u001F]+"
+
+
 def bpe_train(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Classic BPE training (Sennrich et al. 2016): n_merges rounds of
     "merge the most frequent adjacent token pair", weighted by word
@@ -102,7 +110,7 @@ def bpe_train_frame(
     (word, count) table — partial-aggregated, min_count-cut, capped at
     max_vocab by frequency so the driver pull is bounded — then
     :func:`bpe_train` runs the merge loop driver-side."""
-    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.col(text), _WORD_SEP), lambda t: t != "")
     rows = (
         docs.filter(F.col(text).isNotNull())
         .select(F.explode(toks).alias("w"))
@@ -176,7 +184,7 @@ def bpe_encode_counts(
     table (DEFAULT_MERGES if None). Whitespace pre-tokenization stays
     JVM-side; only the merge loop runs in the Arrow batch. Zero shuffle."""
     udf = bpe_token_count_udf(DEFAULT_MERGES if merges is None else merges)
-    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.col(text), _WORD_SEP), lambda t: t != "")
     return (
         docs.filter(F.col(text).isNotNull())
         .select(

@@ -19,6 +19,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -914,8 +916,10 @@ def bloom_pack(bits: DataFrame, m: int, k: int) -> dict[int, np.ndarray]:
     history size. For m beyond driver/broadcast reach, keep the words
     distributed instead: :func:`bloom_word_table`."""
     words = bloom_word_table(bits).toPandas()
-    packed = {s: np.zeros(m // 64 + 1, dtype=np.uint64)
-              for s in range(1, k + 1)}
+    packed = PackedBloom(
+        (s, np.zeros(m // 64 + 1, dtype=np.uint64))
+        for s in range(1, k + 1)
+    )
     for s, w, mask in words.itertuples(index=False, name=None):
         # mask arrives as a signed BIGINT; bit 63 set → negative. Take
         # the two's-complement bits explicitly (np.uint64(neg) is a
@@ -969,13 +973,44 @@ def bloom_membership_words(
     )
 
 
+class PackedBloom(dict):
+    """bloom_pack's return type: a plain dict of seed -> packed uint64
+    bitmap that is additionally weakref-able, so the broadcast cache
+    below can auto-release a retired filter's broadcasts the moment the
+    filter object dies (ADVICE r06: the strong-ref cache leaked up to
+    ~128 MB/seed per build-probe cycle and defeated ContextCleaner).
+
+    Lifetime contract: the broadcasts live exactly as long as this
+    object, so a probe plan built from it must not outlive it —
+    bloom_membership_packed pins the filter on the DataFrame wrapper it
+    returns (`_bloom_packed_owner`), and any caller that re-wraps that
+    frame (groupBy etc.) must carry the pin over to the frame it hands
+    out, as bloom_incremental_frame does."""
+
+
 # One broadcast (set) per packed filter, not per probe call: the
 # intended build-once/probe-every-batch loop would otherwise accumulate
 # a fresh (up to ~128 MB/seed) broadcast on driver and executors per
-# batch (ADVICE r05). Keyed by (id(packed), n_segments) with the packed
-# dict strongly referenced, so the id cannot be recycled while the
-# cache entry lives; retire a filter with bloom_broadcast_destroy.
-_PACKED_BCASTS: dict[tuple[int, int], tuple[dict, list]] = {}
+# batch (ADVICE r05). The cache key is guarded by a weakref to the
+# packed filter with a weakref.finalize that pops the entry and
+# destroys the broadcasts when the filter is garbage-collected, so
+# retired filters release driver+executor memory without any manual
+# bloom_broadcast_destroy call (ADVICE r06). Non-weakref-able plain
+# dicts (hand-built test filters) fall back to the old strong-ref
+# behavior and explicit destroy.
+_PACKED_BCASTS: dict[tuple[int, int], tuple[object, list]] = {}
+
+
+def _destroy_cached_bcasts(cache_key: tuple[int, int]) -> None:
+    entry = _PACKED_BCASTS.pop(cache_key, None)
+    if entry is None:
+        return
+    for seg_list in entry[1]:
+        for b in seg_list:
+            try:
+                b.destroy()
+            except Exception:
+                pass  # SparkContext already stopped / shutdown race
 
 
 def _packed_broadcasts(sc, packed: dict[int, np.ndarray],
@@ -988,8 +1023,11 @@ def _packed_broadcasts(sc, packed: dict[int, np.ndarray],
     to bloom_membership_words). Returns [seed-1][segment] -> Broadcast."""
     cache_key = (id(packed), n_segments)
     entry = _PACKED_BCASTS.get(cache_key)
-    if entry is not None and entry[0] is packed:
-        return entry[1]
+    if entry is not None:
+        held = entry[0]() if isinstance(entry[0], weakref.ref) else entry[0]
+        if held is packed:
+            return entry[1]
+        _PACKED_BCASTS.pop(cache_key, None)
     seeds = sorted(packed)
     n_words = len(packed[seeds[0]])
     seg_len = -(-n_words // n_segments)  # ceil
@@ -998,19 +1036,26 @@ def _packed_broadcasts(sc, packed: dict[int, np.ndarray],
          for i in range(n_segments)]
         for s in seeds
     ]
-    _PACKED_BCASTS[cache_key] = (packed, bcasts)
+    try:
+        held = weakref.ref(packed)
+        weakref.finalize(packed, _destroy_cached_bcasts, cache_key)
+    except TypeError:
+        held = packed  # plain dict: retire with bloom_broadcast_destroy
+    _PACKED_BCASTS[cache_key] = (held, bcasts)
     return bcasts
 
 
 def bloom_broadcast_destroy(packed: dict[int, np.ndarray]) -> None:
-    """Release every cached broadcast for a retired filter (frees the
-    bitmap copies on driver and executors, all segment counts)."""
+    """Eagerly release every cached broadcast for a retired filter
+    (frees the bitmap copies on driver and executors, all segment
+    counts). For PackedBloom filters GC does this automatically when
+    the filter dies; this is the explicit hurry-up (and the only path
+    for hand-built plain-dict filters)."""
     for key in [k for k in _PACKED_BCASTS if k[0] == id(packed)]:
-        entry = _PACKED_BCASTS.pop(key)
-        if entry[0] is packed:
-            for seg_list in entry[1]:
-                for b in seg_list:
-                    b.destroy()
+        held = _PACKED_BCASTS[key][0]
+        held = held() if isinstance(held, weakref.ref) else held
+        if held is packed:
+            _destroy_cached_bcasts(key)
 
 
 def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
@@ -1058,4 +1103,9 @@ def bloom_membership_packed(df: DataFrame, packed: dict[int, np.ndarray],
         return pd.Series(out.astype("int64"))
 
     pos_cols = [bloom_positions(value_col, s, m) for s in range(1, k + 1)]
-    return df.withColumn("bloom_hit", _hit(*pos_cols))
+    out = df.withColumn("bloom_hit", _hit(*pos_cols))
+    # pin the filter to the plan the caller holds: a PackedBloom's
+    # broadcasts are destroyed when the filter is GC'd, so the probe
+    # frame must keep it reachable until it has run
+    out._bloom_packed_owner = packed
+    return out

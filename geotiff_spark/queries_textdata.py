@@ -1014,13 +1014,19 @@ def bloom_incremental_frame(docs, m: int = 1 << 22, k: int = 4,
     probed = dedup.bloom_membership_packed(
         chunks_frame(new_docs), packed, value_col="chunk", m=m, k=k,
         n_segments=n_segments)
-    return (
+    out = (
         probed.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("bloom_hit").alias("n_maybe_seen"),
         )
     )
+    # carry the filter pin onto the frame the caller holds: once the
+    # caller drops it, the PackedBloom dies and its broadcasts are
+    # auto-destroyed (the r06 leak fix) — no manual retire needed in
+    # the build-once/probe-once shape
+    out._bloom_packed_owner = packed
+    return out
 
 
 def q_trigram_lm_score(spark, sf_dir):
@@ -2004,7 +2010,7 @@ merges(rank, l, r) AS (VALUES
 ),
 docw AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\\s+'),
+         unnest(list_filter(string_split_regex(text, '[\\s\\x1f]+'),
                             t -> t <> '')) AS w
   FROM documents WHERE text IS NOT NULL
 ),
@@ -2085,7 +2091,7 @@ merges(rank, l, r) AS (VALUES
 ),
 docw AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\\s+'),
+         unnest(list_filter(string_split_regex(text, '[\\s\\x1f]+'),
                             t -> t <> '')) AS w
   FROM documents WHERE text IS NOT NULL
 ),

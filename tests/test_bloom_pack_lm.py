@@ -238,6 +238,40 @@ def test_bloom_packed_probe_equals_join_probe(spark):
     assert via_words == via_join
 
 
+def test_bloom_packed_broadcasts_auto_release(spark):
+    """The broadcast cache must not pin retired filters (ADVICE r06):
+    dropping every reference to a PackedBloom and its probe frames
+    must pop the cache entry and destroy the broadcasts; while a probe
+    frame is still held, the filter (and so the broadcasts) must stay
+    alive even if the caller dropped its own reference."""
+    import gc
+
+    hist = spark.createDataFrame([(f"h{i}",) for i in range(32)], ["text"])
+    new = spark.createDataFrame([(f"h{i}",) for i in range(8)], ["text"])
+    bits = dedup.bloom_bit_set(hist, "text", m=256, k=2)
+    packed = dedup.bloom_pack(bits, m=256, k=2)
+    assert isinstance(packed, dedup.PackedBloom)
+    key = (id(packed), 1)
+    probe = dedup.bloom_membership_packed(new, packed, "text", m=256, k=2)
+    assert key in dedup._PACKED_BCASTS
+    bcast = dedup._PACKED_BCASTS[key][1][0][0]
+    # the probe frame pins the filter: dropping the caller's own ref
+    # must NOT kill the broadcasts while the plan can still run
+    del packed
+    gc.collect()
+    assert key in dedup._PACKED_BCASTS
+    assert probe.count() == 8  # still executable
+    del probe
+    gc.collect()
+    assert key not in dedup._PACKED_BCASTS
+    try:
+        _ = bcast.value
+        destroyed = False
+    except Exception:
+        destroyed = True
+    assert destroyed, "broadcast survived filter retirement"
+
+
 def test_bloom_packed_probe_plan_has_no_shuffle(spark):
     """The packed probe is one ArrowEvalPython over JVM-computed
     positions — no Exchange of any kind may appear in its plan."""

@@ -118,6 +118,27 @@ def test_progressive_decodes_bit_identical_to_baseline():
             assert np.array_equal(b, p), (h, w, c, sub, q)
 
 
+def test_multiscan_baseline_decodes_bit_identical_to_interleaved():
+    """Per-component baseline scans (one SOS per component, legal
+    baseline) must decode bit-identically to the interleaved layout:
+    a single-component scan walks the component's OWN block grid
+    (T.81 A.2.2), not the padded MCU grid — 420 subsampling with odd
+    dims makes the two grids differ, which is exactly the foreign
+    multi-scan shape that used to misalign (ADVICE r06)."""
+    from geotiff_spark.functions.jpeg import encode_jpeg_multiscan
+
+    rng = np.random.default_rng(13)
+    for h, w, c, sub in [(16, 24, 3, "444"), (33, 17, 3, "420"),
+                         (9, 31, 3, "420"), (8, 8, 1, "444"),
+                         (7, 3, 3, "444")]:
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for q in (60, 95, 100):
+            b = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+            m = decode_jpeg(
+                encode_jpeg_multiscan(arr, quality=q, subsampling=sub))
+            assert np.array_equal(b, m), (h, w, c, sub, q)
+
+
 def test_progressive_eob_and_zrl_paths():
     """Flat images make every AC band empty (maximal EOB runs across
     blocks); sparse spikes make long in-block zero runs (ZRL, including
