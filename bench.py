@@ -176,6 +176,20 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         )
         return force_all(bloom_incremental_frame(pages, n_segments=4))
 
+    def substring_dedup_pages2m():
+        """Round-7: winnowed ExactSubstr at 2M pages — page text is
+        20-45 chars so k=20/w=5 keeps every doc in play (the sf0.01
+        oracle runs the same operator at k=50/w=8 on the longer docs
+        table). One Generate, one digest-partition window count, text
+        crosses the wire once; winnowing ships ~1/3 of the fingerprint
+        volume the exhaustive mode would."""
+        from geotiff_spark.operators.dedup import exact_substring_dedup
+
+        pages = spark.read.parquet(bign_path).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        return force_all(exact_substring_dedup(pages, k=20, winnow=5))
+
     def bpe_encode_pages2m():
         """Round-6: real-BPE tokenization throughput at 2M pages — the
         merges-table greedy apply in an Arrow batch with per-batch word
@@ -197,6 +211,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         "chunk_dedup_pages2m": chunk_dedup_pages2m,
         "rep_signals_pages2m": rep_signals_pages2m,
         "bloom_dedup_pages2m": bloom_dedup_pages2m,
+        "substring_dedup_pages2m": substring_dedup_pages2m,
         "bpe_encode_pages2m": bpe_encode_pages2m,
     }
     for name in picks + ["embedding_near_dups"]:
@@ -259,6 +274,10 @@ COMMITTED_BANDS = {
     # round 6: merges-table BPE apply at 2M pages (6.9-14.3 s warm,
     # 53 s cold-read first pass — the band covers warm+retry)
     "bpe_encode_pages2m": 12.0,
+    # round 7: winnowed ExactSubstr (k=20, w=5) at 2M pages — 21.4 s
+    # first measurement incl. cold read; refine after the round's
+    # official record
+    "substring_dedup_pages2m": 22.0,
 }
 
 

@@ -10,8 +10,8 @@ with spec inverse semantics: PREDICTOR (14 modes incl. Select and the
 ClampAddSubtract pair with C-style truncating division), COLOR
 (cross-color deltas on signed int8), SUBTRACT_GREEN, and COLOR_INDEXING
 (delta-coded palette, sub-byte index packing for palettes of ≤16
-colors). Lossy VP8 stays honestly out of scope (see
-operators/multimodal.decode_image).
+colors). Lossy VP8 lives in functions/vp8.py (round 7 — key-frame
+decoder, YUV420 output, libwebp-pinned).
 
 Encoder: the inverse — forward transforms, greedy LZ77 over ARGB with
 a 2-pixel hash chain, color-cache hits, per-stream Huffman codes built
@@ -705,8 +705,11 @@ def decode_webp(data: bytes) -> np.ndarray:
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
             raise NotImplementedError(
-                "lossy VP8 decode not implemented (pure-numpy scope is "
-                "the lossless VP8L bitstream)"
+                "lossy VP8 decodes to YUV420, not RGBA — use "
+                "functions/vp8.decode_webp_lossy_yuv (round 7) and the "
+                "webp_lossy_features operator; this RGBA path stays "
+                "VP8L-only because matching libwebp's RGB output would "
+                "additionally require its fancy-upsampler semantics"
             )
         pos += 8 + size + (size & 1)  # chunks pad to even
     raise WebpError("no VP8L chunk in container")

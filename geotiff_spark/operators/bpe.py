@@ -99,17 +99,107 @@ def bpe_train(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str
     return merges
 
 
+def bpe_train_fast(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Incremental BPE trainer: identical output to :func:`bpe_train`
+    (pytest pins equality, tie-breaks included) but O(affected words)
+    per merge instead of O(vocab) — a lazy-deletion heap picks the
+    most-frequent pair and only words actually containing the merged
+    pair are rescanned. This is the production trainer for ≥10^3-merge
+    tables over ≥10^5-word vocabularies (the naive recount is
+    O(n_merges × vocab × len) and stops being driver-feasible around
+    10^8)."""
+    import heapq
+    from collections import defaultdict
+
+    words: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_counts.items() if w
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, c) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        nc, best = heap[0]
+        cur = pair_counts.get(best, 0)
+        if cur != -nc:
+            # stale entry: re-push at the current count and retry
+            heapq.heappop(heap)
+            if cur >= 2:
+                heapq.heappush(heap, (-cur, best))
+            continue
+        if cur < 2:
+            break
+        heapq.heappop(heap)
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        changed: set[tuple[str, str]] = set()
+        for idx in pair_words.pop(best, ()):
+            syms, c = words[idx]
+            if len(syms) < 2:
+                continue
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                changed.add((a, b))
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == best[0] and syms[i + 1] == best[1]):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = (out, c)
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(idx)
+                changed.add((a, b))
+        pair_counts.pop(best, None)
+        changed.discard(best)
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c >= 2:
+                heapq.heappush(heap, (-c, p))
+            elif c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
+# Byte-level alphabet: UTF-8 bytes re-expressed as latin-1 chars, so a
+# "symbol" is always a python str and bpe_apply/bpe_train are untouched.
+# Every possible input decomposes into single-byte base symbols — the
+# trained tokenizer has NO out-of-vocabulary input by construction
+# (GPT-2-style byte-level coverage).
+def byte_word(w: str) -> str:
+    return w.encode("utf-8").decode("latin-1")
+
+
 def bpe_train_frame(
     docs: DataFrame,
     n_merges: int = 64,
     text: str = "text",
     min_count: int = 1,
     max_vocab: int = 1_000_000,
+    byte_level: bool = False,
+    fast: bool = False,
 ) -> list[tuple[str, str]]:
     """Train merges from a corpus: one Spark aggregation builds the
     (word, count) table — partial-aggregated, min_count-cut, capped at
-    max_vocab by frequency so the driver pull is bounded — then
-    :func:`bpe_train` runs the merge loop driver-side."""
+    max_vocab by frequency (ties toward the lexicographically smaller
+    word, so the pull is deterministic) — then the merge loop runs
+    driver-side (:func:`bpe_train`, or :func:`bpe_train_fast` for
+    production-size tables). byte_level=True trains over UTF-8 bytes
+    (latin-1-char symbols), giving complete input coverage: no word
+    can be out-of-vocabulary."""
     toks = F.filter(F.split(F.col(text), _WORD_SEP), lambda t: t != "")
     rows = (
         docs.filter(F.col(text).isNotNull())
@@ -120,7 +210,10 @@ def bpe_train_frame(
         .limit(max_vocab)
         .collect()
     )
-    return bpe_train({r["w"]: r["c"] for r in rows}, n_merges)
+    counts = {
+        (byte_word(r["w"]) if byte_level else r["w"]): r["c"] for r in rows
+    }
+    return (bpe_train_fast if fast else bpe_train)(counts, n_merges)
 
 
 def bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -144,11 +237,13 @@ def bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return toks
 
 
-def bpe_token_count_udf(merges: list[tuple[str, str]]):
+def bpe_token_count_udf(merges: list[tuple[str, str]],
+                        byte_level: bool = False):
     """pandas UDF: array<string> of words -> total BPE token count.
     Word-level memoization per batch; the merges table rides the UDF
     closure (broadcast-equivalent for the ~50k-entry tables real
-    tokenizers ship)."""
+    tokenizers ship). byte_level=True tokenizes each word's UTF-8
+    bytes (latin-1-char symbols) — complete coverage, no OOV."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @pandas_udf("long")
@@ -163,7 +258,9 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]):
             for w in arr:
                 n = cache.get(w)
                 if n is None:
-                    n = len(bpe_apply(w, ranks))
+                    t = w.encode("utf-8").decode("latin-1") \
+                        if byte_level else w
+                    n = len(bpe_apply(t, ranks))
                     cache[w] = n
                 total += n
             out.append(total)
@@ -179,11 +276,14 @@ def bpe_encode_counts(
     merges: list[tuple[str, str]] | None = None,
     text: str = "text",
     key: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """(key, n_words, n_bpe_tokens) per document under the given merges
     table (DEFAULT_MERGES if None). Whitespace pre-tokenization stays
     JVM-side; only the merge loop runs in the Arrow batch. Zero shuffle."""
-    udf = bpe_token_count_udf(DEFAULT_MERGES if merges is None else merges)
+    udf = bpe_token_count_udf(
+        DEFAULT_MERGES if merges is None else merges, byte_level=byte_level
+    )
     toks = F.filter(F.split(F.col(text), _WORD_SEP), lambda t: t != "")
     return (
         docs.filter(F.col(text).isNotNull())
@@ -193,3 +293,12 @@ def bpe_encode_counts(
             udf(toks).alias("n_bpe_tokens"),
         )
     )
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a trained merges table (JSON list of [left, right] pairs,
+    as written by scripts/train_bpe_web8k.py)."""
+    import json
+
+    with open(path) as fh:
+        return [tuple(p) for p in json.load(fh)]

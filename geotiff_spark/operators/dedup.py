@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.window import Window
 
 
 def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -711,6 +712,7 @@ def exact_substring_dedup(
     k: int = 50,
     text: str = "text",
     key: str = "doc_id",
+    winnow: int | None = None,
 ) -> DataFrame:
     """Exact substring deduplication (the Lee et al. 2022 "Deduplicating
     Training Data" ExactSubstr operation, Spark-shaped): any k-char
@@ -719,45 +721,78 @@ def exact_substring_dedup(
     position-exact — a duplicated passage is excised wherever it sits,
     with no boundary or tokenization blind spots.
 
+    `winnow=w` turns on winnowing sampling (Schleimer et al. 2003,
+    MOSS): per sliding window of w consecutive k-gram positions, only
+    the position of the (leftmost) minimal digest is kept, cutting the
+    shuffled fingerprint volume to ~2/(w+1) of exhaustive. Selection
+    depends only on digest CONTENT, so two copies of any duplicated
+    span of length ≥ k + w - 1 select the same relative fingerprint —
+    every such span is still caught (pytest pins the guarantee and
+    that sampled marks ⊆ exhaustive marks). This is the 100-TB knob:
+    exhaustive mode's exchange carries one fingerprint per corpus
+    character, winnowed mode one per ~(w+1)/2 characters.
+
     Returns (key, n_chars, n_removed, cleaned_len, cleaned_md5) — the
     decision/verification plane; producing the cleaned corpus itself is
     the same plan minus the md5 projection.
 
-    Scale shape: window digests are row-local JVM (substr → md5); the
-    duplicate-window detection is ONE partial-aggregatable groupBy on
-    the digest (the exchange carries (digest, count) pairs — at 100 TB
-    this is the honest cost of exact substring dedup and the knob is a
-    minimizer/stride sample of window positions, which trades exactness
-    for volume); marked start-positions come back via one join and a
-    per-doc integer aggregation, and the span removal is one row-local
-    Arrow batch pass. The text crosses the wire exactly once (the final
-    doc join), like chunk_dedup's data plane. md5 digests keep the
-    DuckDB oracle bit-exact."""
-    win = (
-        df.filter(F.col(text).isNotNull())
-        .select(
-            F.col(key),
-            F.posexplode(
-                F.when(
-                    F.length(text) >= k,
-                    F.transform(
-                        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
-                        lambda i: F.md5(F.col(text).substr(i, F.lit(k))),
-                    ),
-                ).otherwise(F.array())
-            ).alias("pos0", "d"),
+    Scale shape: window digests are row-local JVM (substr → md5,
+    truncated to 16 hex chars = 64 bits so the exchange carries half
+    the bytes; the DuckDB oracle truncates identically, so even a
+    truncation collision stays bit-mirrored); duplicate-window
+    detection is ONE pass over the fingerprints — a count over a
+    digest-partitioned window, so the explode runs once and the single
+    full-volume exchange is the digest hash-partitioning (r06 VERDICT:
+    the old groupBy+join shape computed the explode twice and exchanged
+    it twice); marked start-positions then aggregate per doc, and span
+    removal is one row-local Arrow batch pass. The text crosses the
+    wire exactly once (the final doc join), like chunk_dedup's data
+    plane."""
+    base_docs = df.filter(F.col(text).isNotNull())
+    dig = F.when(
+        F.length(text) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+            lambda i: F.substring(
+                F.md5(F.col(text).substr(i, F.lit(k))), 1, 16
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if winnow is None:
+        win = base_docs.select(
+            F.col(key), F.posexplode(dig).alias("i0", "d")
+        ).select(key, (F.col("i0") + 1).alias("i"), "d")
+    else:
+        w = int(winnow)
+        if w < 1:
+            raise ValueError("winnow window must be >= 1")
+        # leftmost argmin per digest window, all JVM HOFs: window starts
+        # j in [1, max(1, n_pos - w + 1)]; slice() clamps the last
+        # (short-doc) window, array_position takes the FIRST occurrence
+        # of the min (the leftmost tie-break the oracle mirrors)
+        sel = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.size("_dig") - F.lit(w - 1)),
+                ),
+                lambda j: j - 1 + F.array_position(
+                    F.slice("_dig", j, w),
+                    F.array_min(F.slice("_dig", j, w)),
+                ).cast("int"),
+            )
         )
-    )
-    dup = (
-        win.groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("d")
-    )
-    marks = (
-        win.join(dup, "d")
-        .groupBy(key)
-        .agg(F.collect_list(F.col("pos0") + 1).alias("starts"))
+        win = (
+            base_docs.select(F.col(key), dig.alias("_dig"))
+            .filter(F.size("_dig") >= 1)
+            .select(F.col(key), F.col("_dig"), F.explode(sel).alias("i"))
+            .select(key, "i", F.element_at("_dig", F.col("i")).alias("d"))
+        )
+    dup_win = win.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("d"))
+    ).filter(F.col("n") >= 2)
+    marks = dup_win.groupBy(key).agg(
+        F.collect_list(F.col("i")).alias("starts")
     )
 
     @pandas_udf("string")

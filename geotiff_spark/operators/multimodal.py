@@ -621,6 +621,157 @@ def synth_webp_media(
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_webp_lossy_row(mid: int) -> dict:
+    """One deterministic lossy-WebP (VP8 key frame) media row. Two
+    sources, interleaved:
+
+    - EVEN mid: a REAL libwebp encode (ctypes, functions/webp_oracle)
+      of a deterministic image — content class and quality cycle so the
+      corpus carries genuine foreign VP8 streams with segmentation,
+      normal loop filter, i4/i16 mode mixes, and the full token range.
+    - ODD mid: a crafted stream from the minimal intra encoder
+      (functions/vp8_enc) cycling exact prediction-mode grids, filter
+      type/level/sharpness, skip patterns and hand-placed coefficients —
+      shapes a production encoder rarely emits.
+
+    If libwebp is absent the even rows fall back to crafted streams
+    too, so the corpus stays deterministic per environment; this
+    container ships libwebp and the driver gate runs here."""
+    from geotiff_spark.functions import webp_oracle
+    from geotiff_spark.functions.vp8_enc import encode_intra_frame, wrap_webp
+
+    mid = int(mid)
+    r = np.random.default_rng(mid * 7919 + 13)
+    if mid % 2 == 0 and webp_oracle.available():
+        h = int(16 + (mid * 11) % 49)
+        w = int(16 + (mid * 17) % 61)
+        quality = (8, 35, 60, 80, 95)[(mid // 2) % 5]
+        kind = (mid // 10) % 4
+        if kind == 0:
+            img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            x = np.linspace(0, 255, w)
+            y = np.linspace(255, 0, h)
+            img = np.stack([np.tile(x, (h, 1)),
+                            np.tile(y[:, None], (1, w)),
+                            np.add.outer(y, x) / 2], axis=2).astype(np.uint8)
+        elif kind == 2:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.zeros((h, w, 3))
+            for _ in range(5):
+                cy, cx = r.uniform(0, h), r.uniform(0, w)
+                g = r.uniform(50, 120) * np.exp(
+                    -((yy - cy) ** 2 + (xx - cx) ** 2)
+                    / (2 * r.uniform(4, 16) ** 2))
+                img += g[..., None] * r.uniform(0.3, 1.0, 3)
+            img = np.clip(img + 60, 0, 255).astype(np.uint8)
+        else:
+            img = np.full((h, w, 3), 240, dtype=np.uint8)
+            for _ in range(25):
+                y0, x0 = int(r.integers(0, h)), int(r.integers(0, w))
+                img[y0:y0 + int(r.integers(1, 4)),
+                    x0:x0 + int(r.integers(2, 10))] = \
+                    r.integers(0, 70, 3).astype(np.uint8)
+        payload = webp_oracle.encode_lossy(img, quality)
+        w_out, h_out = w, h
+    else:
+        mb_w, mb_h = 2 + mid % 2, 2
+        w_out, h_out = mb_w * 16 - mid % 9, mb_h * 16 - mid % 7
+        ymodes = [[int(r.integers(0, 5)) for _ in range(mb_w)]
+                  for _ in range(mb_h)]
+        bmodes = [[([[int(r.integers(0, 10)) for _ in range(4)]
+                     for _ in range(4)] if ymodes[my][mx] == 4 else None)
+                   for mx in range(mb_w)] for my in range(mb_h)]
+        uvmodes = [[int(r.integers(0, 4)) for _ in range(mb_w)]
+                   for _ in range(mb_h)]
+        coeffs = {}
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                if r.uniform() < 0.3:
+                    continue  # skipped MB
+                coeffs[(my, mx)] = {
+                    "y2": [int(v) for v in r.integers(-12, 12, 16)],
+                    "y": [[int(v) for v in r.integers(-50, 50, 16)]
+                          for _ in range(16)],
+                    "u": [[int(v) for v in r.integers(-25, 25, 16)]
+                          for _ in range(4)],
+                    "v": [[int(v) for v in r.integers(-25, 25, 16)]
+                          for _ in range(4)],
+                }
+        payload = wrap_webp(encode_intra_frame(
+            width=w_out, height=h_out, ymode_grid=ymodes,
+            bmode_grid=bmodes, uvmode_grid=uvmodes,
+            y_ac_qi=int(r.integers(0, 112)),
+            filter_level=int(r.integers(0, 64)),
+            filter_simple=int(mid % 4 == 1),
+            sharpness=int(r.integers(0, 8)),
+            coeffs=coeffs))
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": payload,
+        "meta": {
+            "width": int(w_out), "height": int(h_out), "channels": 3,
+            "sample_rate": None, "n_frames": None, "format": "WEBP",
+        },
+    }
+
+
+def synth_webp_lossy_media(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [synth_webp_lossy_row(mid) for mid in pdf["id"]])
+
+    rng = spark.range(0, n, numPartitions=partitions or 8)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+WEBP_LOSSY_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_y", DoubleType()),
+        StructField("mean_u", DoubleType()),
+        StructField("mean_v", DoubleType()),
+        StructField("std_y", DoubleType()),
+    ]
+)
+
+
+def webp_lossy_features(media: DataFrame) -> DataFrame:
+    """Lossy-WebP decode (functions/vp8.py) → per-plane YUV stats in
+    one mapInPandas pass. Features live in YUV420 — VP8's native coding
+    space — so no RGB upsampler enters the comparison surface."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geotiff_spark.functions.vp8 import decode_webp_lossy_yuv
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                y, u, v = decode_webp_lossy_yuv(bytes(payload))
+                rows.append({
+                    "media_id": int(mid),
+                    "width": int(y.shape[1]),
+                    "height": int(y.shape[0]),
+                    "mean_y": float(y.mean()),
+                    "mean_u": float(u.mean()),
+                    "mean_v": float(v.mean()),
+                    "std_y": float(y.std()),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=WEBP_LOSSY_FEATURES_SCHEMA)
+    )
+
+
 def synth_wav_row(mid: int) -> dict:
     """Deterministic REAL-WAV audio row: splitmix-derived samples through
     encode_wav, cycling PCM 8/16/24/32-bit and float 32/64, mono and

@@ -398,3 +398,44 @@ def webp_feature_table() -> str:
 
 def webp_image_features_sql() -> str:
     return f"SELECT * FROM read_parquet('{webp_feature_table()}')"
+
+
+N_WEBP_LOSSY = 120
+
+
+def webp_lossy_feature_table() -> str:
+    """Expected webp_lossy_features rows over the lossy VP8 corpus.
+    Same trust pattern as the other media oracles (the gate verifies
+    the distributed run against a driver-side decode of the identical
+    corpus); the CODEC itself is pinned independently and much harder:
+    tests/test_webp.py compares the from-scratch decoder's YUV output
+    bit-for-bit against libwebp's WebPDecodeYUV over real libwebp
+    encodes AND crafted every-mode streams."""
+    import pandas as pd
+
+    from geotiff_spark.functions.vp8 import decode_webp_lossy_yuv
+    from geotiff_spark.operators.multimodal import synth_webp_lossy_row
+
+    path = f"{ORACLE_DIR}/webp_lossy_features_v{MEDIA_V}.parquet"
+    marker = f"{ORACLE_DIR}/_WEBP_LOSSY_DONE_{N_WEBP_LOSSY}_v{MEDIA_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    rows = []
+    for mid in range(N_WEBP_LOSSY):
+        y, u, v = decode_webp_lossy_yuv(synth_webp_lossy_row(mid)["payload"])
+        rows.append((mid, int(y.shape[1]), int(y.shape[0]),
+                     float(y.mean()), float(u.mean()), float(v.mean()),
+                     float(y.std())))
+    pdf = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "mean_y", "mean_u",
+                       "mean_v", "std_y"],
+    )
+    _write_parquet(path, {c: pdf[c].to_numpy() for c in pdf})
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def webp_lossy_features_sql() -> str:
+    return f"SELECT * FROM read_parquet('{webp_lossy_feature_table()}')"

@@ -375,6 +375,23 @@ def q_webp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(mm.synth_webp_media(spark, 120))
 
 
+def q_webp_lossy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """webp_lossy_features over REAL lossy-WebP (VP8 key frame) bytes
+    decoded by the from-scratch RFC 6386 decoder (functions/vp8.py —
+    round 7; the last common crawl image format still stubbed). The
+    corpus interleaves genuine libwebp encodes (quality/content sweep:
+    segmentation, loop filter, i4/i16 mixes, full token range) with
+    crafted every-mode streams from the minimal intra encoder
+    (functions/vp8_enc.py): exact B-mode grids, filter type/level/
+    sharpness cycles, skip patterns. Features are YUV-plane stats (the
+    codec's native space). Codec pinned bit-for-bit against libwebp's
+    WebPDecodeYUV (tests/test_webp.py). Oracle: single-process decode
+    of the identical corpus (oracle_media.webp_lossy_feature_table)."""
+    from geotiff_spark.operators import multimodal as mm
+
+    return mm.webp_lossy_features(mm.synth_webp_lossy_media(spark, 120))
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """audio_features over REAL RIFF/WAVE bytes: the corpus cycles PCM
     8/16/24/32-bit and IEEE-float 32/64, mono and stereo, decoded by the
@@ -497,6 +514,8 @@ def multimodal_queries() -> Registry:
             q_gif_image_features, oracle_media.gif_image_features_sql()),
         "webp_image_features": (
             q_webp_image_features, oracle_media.webp_image_features_sql()),
+        "webp_lossy_features": (
+            q_webp_lossy_features, oracle_media.webp_lossy_features_sql()),
         "audio_features": (q_audio_features, oracle_media.audio_features_sql()),
         "wav_audio_features": (
             q_wav_audio_features, oracle_media.wav_audio_features_sql()),
@@ -837,10 +856,13 @@ SELF_RUN_ONLY_NEW: list[str] = []
 TAIL_QUERIES = [
     *SELF_RUN_ONLY_NEW,
     # stale tail (green r05, waiting one round — MUST enter the r08
-    # window): long-stable relational fillers, unchanged since round 2
+    # window): long-stable relational fillers, unchanged since round 2,
+    # each displaced by a brand-new round-7 query entering the window
     "top_tokens",
     "haversine_to_vienna",
     "small_quantity_revenue",
+    "set_ops",
+    "json_extract",
     # ROTATED OUT round 7 (hash-green in the r06 driver window; code
     # unchanged this round)
     "cell_assign",

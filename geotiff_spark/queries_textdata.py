@@ -1955,13 +1955,84 @@ WITH docs_t AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL
 ),
 win AS (
-  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 50)) AS d
+  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 50)), 1, 16) AS d
   FROM docs_t, unnest(range(1, len(text) - 48)) t(i)
 ),
 dup AS (SELECT d FROM win GROUP BY d HAVING COUNT(*) >= 2),
 cover AS (
   SELECT DISTINCT w.doc_id, w.i + o AS p
   FROM win w JOIN dup USING (d), range(0, 50) t(o)
+),
+chars AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INT), 1) AS ch
+  FROM docs_t, unnest(range(1, len(text) + 1)) t(p)
+),
+cleaned AS (
+  SELECT c.doc_id,
+         COALESCE(
+           string_agg(CASE WHEN v.p IS NULL THEN c.ch END, ''
+                      ORDER BY c.p),
+           '') AS cleaned
+  FROM chars c LEFT JOIN cover v ON v.doc_id = c.doc_id AND v.p = c.p
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.text) AS INT) AS n_chars,
+       CAST(len(d.text) - len(COALESCE(cl.cleaned, d.text)) AS INT)
+         AS n_removed,
+       CAST(len(COALESCE(cl.cleaned, d.text)) AS INT) AS cleaned_len,
+       md5(COALESCE(cl.cleaned, d.text)) AS cleaned_md5
+FROM docs_t d LEFT JOIN cleaned cl USING (doc_id)
+"""
+
+
+def q_substring_dedup_sampled(spark, sf_dir):
+    """Winnowed ExactSubstr (Schleimer et al. 2003 selection over Lee
+    et al. 2022 spans): only the leftmost-minimal digest per sliding
+    window of 8 fingerprint positions is shuffled (~2/9 of exhaustive
+    volume); any duplicated span of length ≥ 57 (= k + w - 1) is still
+    caught deterministically. The 100-TB fingerprint-volume knob."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(docs, k=50, winnow=8)
+
+
+SQL_SUBSTRING_DEDUP_SAMPLED = """
+WITH docs_t AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 50)), 1, 16) AS d
+  FROM docs_t, unnest(range(1, len(text) - 48)) t(i)
+),
+npos AS (
+  SELECT doc_id, len(text) - 49 AS n_pos FROM docs_t WHERE len(text) >= 50
+),
+mins AS (
+  SELECT doc_id, i AS j,
+         min(d) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wd
+  FROM win
+),
+valid AS (
+  SELECT m.doc_id, m.j, m.wd
+  FROM mins m JOIN npos USING (doc_id)
+  WHERE m.j <= greatest(1, n_pos - 7)
+),
+sel AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT v.doc_id, v.j, min(w2.i) AS i
+    FROM valid v JOIN win w2 ON w2.doc_id = v.doc_id
+         AND w2.i BETWEEN v.j AND v.j + 7 AND w2.d = v.wd
+    GROUP BY v.doc_id, v.j)
+),
+selected AS (
+  SELECT s.doc_id, s.i, w.d
+  FROM sel s JOIN win w ON w.doc_id = s.doc_id AND w.i = s.i
+),
+dup AS (SELECT d FROM selected GROUP BY d HAVING COUNT(*) >= 2),
+cover AS (
+  SELECT DISTINCT s.doc_id, s.i + o AS p
+  FROM selected s JOIN dup USING (d), range(0, 50) t(o)
 ),
 chars AS (
   SELECT doc_id, p, substr(text, CAST(p AS INT), 1) AS ch
@@ -2264,6 +2335,8 @@ def textdata_queries():
         "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
         "pack_sequences_bpe": (q_pack_sequences_bpe, SQL_PACK_SEQUENCES_BPE),
         "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+        "substring_dedup_sampled": (
+            q_substring_dedup_sampled, SQL_SUBSTRING_DEDUP_SAMPLED),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "url_domain_stats": (q_url_domain_stats, SQL_URL_DOMAIN_STATS),

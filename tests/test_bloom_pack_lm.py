@@ -343,6 +343,87 @@ def test_repeated_ngram_mine_catches_straddling_duplicates(spark):
     assert top[0]["rank"] == 1
 
 
+def _ref_winnowed_clean(docs, k, w):
+    """Pure-python reference of winnowed ExactSubstr: per window of w
+    digest positions keep the leftmost argmin; duplicate detection among
+    selected fingerprints only; mark k-char spans."""
+    import hashlib
+    from collections import Counter
+
+    def digs(t):
+        return [hashlib.md5(t[i:i + k].encode()).hexdigest()[:16]
+                for i in range(len(t) - k + 1)]
+
+    sel: dict[int, list[int]] = {}
+    for d_id, t in docs:
+        ds = digs(t)
+        if not ds:
+            sel[d_id] = []
+            continue
+        chosen = set()
+        for j in range(0, max(1, len(ds) - w + 1)):
+            window = ds[j:j + w]
+            chosen.add(j + window.index(min(window)))
+        sel[d_id] = sorted(chosen)
+    cnt: Counter = Counter()
+    for d_id, t in docs:
+        ds = digs(t)
+        for i in sel[d_id]:
+            cnt[ds[i]] += 1
+    out = {}
+    for d_id, t in docs:
+        ds = digs(t)
+        mask = [False] * len(t)
+        for i in sel[d_id]:
+            if cnt[ds[i]] >= 2:
+                for p in range(i, i + k):
+                    mask[p] = True
+        out[d_id] = "".join(c for c, m in zip(t, mask) if not m)
+    return out
+
+
+def test_exact_substring_dedup_winnowed(spark):
+    """Winnowed mode (winnow=w): (a) bit-exact vs the pure-python
+    winnowing reference — including digest-tie docs ('aaaa...') where
+    the leftmost tie-break decides; (b) the Schleimer guarantee: every
+    duplicated span of length >= k + w - 1 is caught in BOTH copies
+    even at different offsets; (c) sampled removal is a SUBSET of
+    exhaustive removal per doc."""
+    k, w = 20, 5
+    span = "THE=PLANTED=SPAN=" + "".join(chr(97 + i % 26) for i in range(20))
+    assert len(span) >= k + w - 1
+    uniq1 = "".join(format(i, "03d") for i in range(40))
+    uniq2 = "".join(format(999 - i, "03d") for i in range(40))
+    docs = [
+        (0, uniq1[:33] + span + uniq1[40:80]),
+        (1, uniq2[:7] + span + uniq2[40:97]),
+        (2, uniq1[:60]),           # unique-ish content vs doc 3
+        (3, "a" * 64),             # all-tie digests: tie-break path
+        (4, "a" * 64),             # its twin
+        (5, uniq2[:15]),           # shorter than k: no windows
+    ]
+    ref = _ref_winnowed_clean(docs, k, w)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(df, k=k, winnow=w).collect()}
+    import hashlib
+    for d_id, t in docs:
+        assert got[d_id]["cleaned_md5"] == hashlib.md5(
+            ref[d_id].encode()).hexdigest(), (d_id, ref[d_id])
+        assert got[d_id]["cleaned_len"] == len(ref[d_id])
+    # (b) the guarantee: both copies of the planted span lost chars,
+    # and only span chars went (flanks are unique content)
+    for d_id in (0, 1):
+        assert got[d_id]["n_removed"] >= k, got[d_id]
+        assert span not in ref[d_id]
+    assert got[5]["n_removed"] == 0
+    # (c) subset: sampled can never remove more than exhaustive
+    exh = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(df, k=k).collect()}
+    for d_id, _ in docs:
+        assert got[d_id]["n_removed"] <= exh[d_id]["n_removed"]
+
+
 def test_exact_substring_dedup_planted_spans(spark):
     """Planted 60-char passage duplicated across two docs at DIFFERENT
     offsets must be excised from both, exactly the covered span; a
