@@ -119,6 +119,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         # round 4: the co-partitioned sampling branch, real-PNG decode
         # feature kernel, and the u64 exact-value gate
         "zonal_stats_copart", "png_image_features", "u64_exact_sample",
+        "webp_lossy_features",
         "tiepoints_sample", "focal_stats", "cell_compact",
         "agg_pricing_summary", "multi_join_revenue_by_region",
         "window_topn_orders", "global_topk",
@@ -190,18 +191,37 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         )
         return force_all(exact_substring_dedup(pages, k=20, winnow=5))
 
-    def bpe_encode_pages2m():
-        """Round-6: real-BPE tokenization throughput at 2M pages — the
-        merges-table greedy apply in an Arrow batch with per-batch word
-        memoization (operators/bpe.py). Zero shuffle; the wall is the
-        Python merge-loop stage, amortized by the word cache (~290k
-        pages/s warm)."""
-        from geotiff_spark.operators.bpe import bpe_encode_counts
+    def substring_exhaustive_pages2m():
+        """DIAGNOSTIC twin of substring_dedup_pages2m: the exhaustive
+        (every-position) fingerprint plane at the same k — quantifies
+        what winnowing saves on the digest exchange. Excluded from the
+        headline total."""
+        from geotiff_spark.operators.dedup import exact_substring_dedup
 
         pages = spark.read.parquet(bign_path).select(
             F.xxhash64("url").alias("doc_id"), "text"
         )
-        return force_all(bpe_encode_counts(pages))
+        return force_all(exact_substring_dedup(pages, k=20))
+
+    def bpe_encode_pages2m():
+        """Round-7: PRODUCTION-scale BPE tokenization at 2M pages — the
+        committed web8k table (8192 merges, trained from this corpus by
+        scripts/train_bpe_web8k.py) applied byte-level (no OOV) in an
+        Arrow batch with per-batch word memoization (operators/bpe.py).
+        Zero shuffle; the wall is the Python merge-loop stage. The
+        26-merge toy table stays on the oracle query only."""
+        import os as _os
+
+        from geotiff_spark.operators.bpe import bpe_encode_counts, load_merges
+
+        merges = load_merges(_os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "geotiff_spark", "data", "bpe_merges_web8k.json"))
+        pages = spark.read.parquet(bign_path).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        return force_all(
+            bpe_encode_counts(pages, merges=merges, byte_level=True))
 
     out = {
         "pages_e2e": pages_e2e,
@@ -212,6 +232,7 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
         "rep_signals_pages2m": rep_signals_pages2m,
         "bloom_dedup_pages2m": bloom_dedup_pages2m,
         "substring_dedup_pages2m": substring_dedup_pages2m,
+        "substring_exhaustive_pages2m": substring_exhaustive_pages2m,
         "bpe_encode_pages2m": bpe_encode_pages2m,
     }
     for name in picks + ["embedding_near_dups"]:
@@ -221,7 +242,8 @@ def bench_queries(spark, sf_dir: str, pages_path: str, bign_path: str,
 
 
 # measured for comparison/diagnosis, not part of the headline suite total
-DIAGNOSTIC_QUERIES = {"pages_e2e_twostage", "embedding_near_dups"}
+DIAGNOSTIC_QUERIES = {"pages_e2e_twostage", "embedding_near_dups",
+                      "substring_exhaustive_pages2m"}
 
 # Committed per-query bands at sf0.1 / local[32] (seconds): the pooled
 # best-of-n from BENCH/BASELINE.md plus headroom (~1.5x). A first run at
@@ -271,13 +293,17 @@ COMMITTED_BANDS = {
     # (seed,pos) set — the SizeEstimator bimodality source — and the
     # redundant pre-bit_or distinct); quiet-host runs land 9-17 s
     "bloom_dedup_pages2m": 20.0,
-    # round 6: merges-table BPE apply at 2M pages (6.9-14.3 s warm,
-    # 53 s cold-read first pass — the band covers warm+retry)
-    "bpe_encode_pages2m": 12.0,
-    # round 7: winnowed ExactSubstr (k=20, w=5) at 2M pages — 21.4 s
-    # first measurement incl. cold read; refine after the round's
-    # official record
+    # round 7: RE-MEASURED with the committed web8k table (8192 merges,
+    # byte-level) replacing the 26-merge toy vocabulary — 2.7 s warm at
+    # 2M pages (~750k pages/s); the toy table stays only on the oracle
+    # query (BENCH/BASELINE.md round 7 labels the vocab)
+    "bpe_encode_pages2m": 6.0,
+    # round 7: winnowed ExactSubstr (k=20, w=5) at 2M pages — 14.4 s
+    # warm / 21.4 s cold-read measurements
     "substring_dedup_pages2m": 22.0,
+    # round 7: exhaustive twin (diagnostic) + the lossy-VP8 media query
+    "substring_exhaustive_pages2m": 40.0,
+    "webp_lossy_features": 6.0,
 }
 
 

@@ -852,8 +852,13 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "compressed audio codecs unavailable in this environment; "
-        "payload is neither WAV nor a FAKE-AUD container"
+        "compressed audio codecs stay stubbed by decision (COVERAGE.md "
+        "round 7): no reference implementation exists in this container "
+        "to validate against, and mp3's designed constant tables (34 "
+        "Huffman tables, the 512-tap synthesis window) cannot be "
+        "derived or verified offline — a guessed self-consistent codec "
+        "would be worse than this explicit stub; payload is neither "
+        "WAV nor a FAKE-AUD container"
     )
 
 

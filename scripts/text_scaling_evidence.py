@@ -33,6 +33,8 @@ import json, sys, time
 sys.path.insert(0, '__REPO__')
 from pyspark.sql import functions as F
 from geotiff_spark.session import get_spark
+from geotiff_spark.operators.bpe import bpe_encode_counts, load_merges
+from geotiff_spark.operators.dedup import exact_substring_dedup
 from geotiff_spark.queries_textdata import chunk_dedup_frame, rep_signals_frame
 
 cores = int(sys.argv[1])
@@ -71,9 +73,15 @@ def timed(fn, warm=1, runs=2):
 
 t_chunk = timed(lambda: force_all(chunk_dedup_frame(pages)))
 t_rep = timed(lambda: force_all(rep_signals_frame(pages)))
+t_sub = timed(lambda: force_all(exact_substring_dedup(pages, k=20, winnow=5)))
+merges = load_merges('__REPO__/geotiff_spark/data/bpe_merges_web8k.json')
+t_bpe = timed(lambda: force_all(
+    bpe_encode_counts(pages, merges=merges, byte_level=True)))
 print(json.dumps({"cores": cores, "n_pages": n,
                   "chunk_dedup_sec": round(t_chunk, 3),
-                  "rep_signals_sec": round(t_rep, 3)}))
+                  "rep_signals_sec": round(t_rep, 3),
+                  "substring_winnow_sec": round(t_sub, 3),
+                  "bpe_web8k_sec": round(t_bpe, 3)}))
 spark.stop()
 """
 
@@ -119,7 +127,8 @@ def main() -> int:
             if best is None:
                 best = r
             else:
-                for k in ("chunk_dedup_sec", "rep_signals_sec"):
+                for k in ("chunk_dedup_sec", "rep_signals_sec",
+                          "substring_winnow_sec", "bpe_web8k_sec"):
                     best[k] = min(best[k], r[k])
         results[cores] = best
         print(json.dumps(best))
@@ -128,11 +137,12 @@ def main() -> int:
     ratio = args.big / args.small
     eff = {
         k: (small[k] / big[k]) / ratio
-        for k in ("chunk_dedup_sec", "rep_signals_sec")
+        for k in ("chunk_dedup_sec", "rep_signals_sec",
+                  "substring_winnow_sec", "bpe_web8k_sec")
     }
     n = small["n_pages"]
 
-    section = f"""## Text-op scaling evidence (round 5: the shuffle-bearing ops)
+    section = f"""## Text-op scaling evidence (rounds 5-7 text ops)
 
 Same N-vs-4N protocol as the headline table (local[{args.small}] vs
 local[{args.big}], identical {n:,}-page input, warmed workers, cached
@@ -144,6 +154,8 @@ These two jobs carry REAL exchanges — the pages-e2e headline is map-only
 |---|---|---|---|---|
 | chunk_dedup (int-only decision shuffles: digest min + per-doc pos agg; text moves once in the final doc join) | {small['chunk_dedup_sec']} s | {big['chunk_dedup_sec']} s | {n/small['chunk_dedup_sec']:,.0f} -> {n/big['chunk_dedup_sec']:,.0f} | **{eff['chunk_dedup_sec']:.2f}** |
 | rep_signals (fully row-local: array n-grams + sorted-run-length top gram, zero shuffle) | {small['rep_signals_sec']} s | {big['rep_signals_sec']} s | {n/small['rep_signals_sec']:,.0f} -> {n/big['rep_signals_sec']:,.0f} | **{eff['rep_signals_sec']:.2f}** |
+| winnowed ExactSubstr k=20 w=5 (round 7: one digest-partition window count + per-doc agg + final doc join) | {small['substring_winnow_sec']} s | {big['substring_winnow_sec']} s | {n/small['substring_winnow_sec']:,.0f} -> {n/big['substring_winnow_sec']:,.0f} | **{eff['substring_winnow_sec']:.2f}** |
+| BPE encode, web8k trained table (round 7: zero-shuffle Arrow merge loop, per-batch word memoization) | {small['bpe_web8k_sec']} s | {big['bpe_web8k_sec']} s | {n/small['bpe_web8k_sec']:,.0f} -> {n/big['bpe_web8k_sec']:,.0f} | **{eff['bpe_web8k_sec']:.2f}** |
 """
     path = f"{REPO}/BENCH/BASELINE.md"
     BEGIN, END = "<!-- TEXT-SCALING:BEGIN -->", "<!-- TEXT-SCALING:END -->"

@@ -98,3 +98,62 @@ def test_bpe_train_frame_and_encode_counts(spark, tmp_path):
     assert out[0] == (3, exp0)
     assert out[1] == (2, exp1)
     assert out[2] == (0, 0)  # empty text: zero words, zero tokens
+
+
+def test_bpe_train_fast_equals_naive():
+    """The heap-based incremental trainer must reproduce bpe_train's
+    output exactly — tie-breaks (lexicographically smaller pair at
+    equal count) included — over randomized vocabularies."""
+    import random
+
+    rng = random.Random(101)
+    for _ in range(30):
+        vocab = {}
+        for _ in range(rng.randint(3, 80)):
+            w = "".join(rng.choice("abcd012") for _ in range(rng.randint(1, 10)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 7)
+        for n in (1, 7, 50, 400):
+            assert bpe.bpe_train(dict(vocab), n) == \
+                bpe.bpe_train_fast(dict(vocab), n), (vocab, n)
+
+
+def test_byte_level_no_oov_and_roundtrip():
+    """Byte-level mode decomposes ANY input into single-byte symbols:
+    token concatenation reproduces the (latin-1-mapped) word, and
+    unmerged exotic input tokenizes to exactly its UTF-8 byte count."""
+    merges = bpe.bpe_train_fast(
+        {bpe.byte_word(w): c for w, c in
+         {"café": 9, "caff": 5, "日本": 4}.items()}, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("café", "日本", "caff", "смесь", "\x00\xff", "plain"):
+        toks = bpe.bpe_apply(bpe.byte_word(w), ranks)
+        assert "".join(toks) == bpe.byte_word(w)
+        assert 1 <= len(toks) <= len(w.encode("utf-8"))
+    # no merges at all: token count == byte count (full coverage)
+    assert len(bpe.bpe_apply(bpe.byte_word("日本語"), {})) == \
+        len("日本語".encode("utf-8"))
+
+
+def test_committed_web8k_table_is_well_formed():
+    """The committed production table: >= 8192 merges, every merge's
+    sides derivable from single latin-1 byte symbols or earlier merges
+    (closure — the apply loop can always reach every merged token), and
+    a spot-check that applying it to corpus-shaped words terminates and
+    round-trips."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "geotiff_spark",
+                        "data", "bpe_merges_web8k.json")
+    merges = bpe.load_merges(path)
+    assert len(merges) >= 8192
+    known = set()
+    for left, right in merges:
+        for side in (left, right):
+            assert len(side) == 1 or side in known, (left, right)
+        known.add(left + right)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("geo:", "12.34567,-107.65432", "shuffle", "unseen-word!"):
+        toks = bpe.bpe_apply(bpe.byte_word(w), ranks)
+        assert "".join(toks) == bpe.byte_word(w)
+        assert len(toks) < len(w.encode("utf-8")) or len(w) <= 2 \
+            or w == "unseen-word!"

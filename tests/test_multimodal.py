@@ -75,7 +75,8 @@ def test_real_codec_path_raises():
 
     with pytest.raises(GifError):
         mm.decode_image(b"GIF89a" + b"x" * 16)
-    # WebP remains honestly stubbed (no Pillow in this sandbox)
+    # the RGBA dispatch path stays VP8L-only; lossy VP8 decodes to
+    # YUV via functions/vp8.py + webp_lossy_features (round 7)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"x" * 16)
 

@@ -283,3 +283,20 @@ def test_bloom_words_probe_shuffles_integers_only(spark):
     plan = _plan(out)
     for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in args, f"text shuffled on ({args}):\n{plan}"
+
+
+def test_exact_substring_dedup_single_digest_scan(spark):
+    """ExactSubstr's fingerprint explode must run ONCE (r06 VERDICT:
+    the old groupBy+join shape computed and exchanged it twice): one
+    Generate, and the only full-volume exchange is the digest hash
+    partitioning feeding the window count. Winnowed mode keeps the
+    same single-Generate shape."""
+    from geotiff_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "a" * 120), (1, "b" * 120)], ["doc_id", "text"])
+    for kw in ({}, {"winnow": 5}):
+        plan = _plan(dedup.exact_substring_dedup(df, k=50, **kw))
+        n_gen = plan.count("Generate")
+        assert n_gen == 1, f"{kw}: {n_gen} Generates\n{plan}"
+        assert plan.count("Exchange") <= 3, plan

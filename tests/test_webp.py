@@ -139,7 +139,7 @@ def test_errors():
     with pytest.raises(WebpError):
         decode_webp(bytes(bad))
     with pytest.raises(NotImplementedError):
-        # lossy VP8 container is recognized and honestly rejected
+        # lossy VP8 is routed to functions/vp8.py (YUV), not this RGBA path
         decode_webp(b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP"
                     + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4)
     with pytest.raises(WebpError):
