@@ -375,3 +375,19 @@ def test_vp8_rejects_non_keyframe_and_garbage():
         decode_vp8_frame(b"\x00" * 16)  # bad start code
     with pytest.raises(VP8Error):
         decode_webp_lossy_yuv(b"RIFFxxxxWEBP")  # no VP8 chunk
+
+
+def test_vp8_lossy_corpus_fallback_arm_without_libwebp(monkeypatch):
+    """If libwebp is absent, synth_webp_lossy_media's even rows fall
+    back to crafted vp8_enc streams — the corpus must still generate
+    and decode (the driver gate then runs entirely on crafted streams,
+    deterministically for that environment)."""
+    from geotiff_spark.functions import webp_oracle
+    from geotiff_spark.functions.vp8 import decode_webp_lossy_yuv
+    from geotiff_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(webp_oracle, "available", lambda: False)
+    for mid in (0, 2, 5, 8):  # even mids take the fallback branch now
+        row = mm.synth_webp_lossy_row(mid)
+        y, u, v = decode_webp_lossy_yuv(row["payload"])
+        assert y.shape == (row["meta"]["height"], row["meta"]["width"])
