@@ -684,24 +684,33 @@ def synth_webp_lossy_row(mid: int) -> dict:
                    for mx in range(mb_w)] for my in range(mb_h)]
         uvmodes = [[int(r.integers(0, 4)) for _ in range(mb_w)]
                    for _ in range(mb_h)]
+        # keep dequantized values inside the real-encoder envelope
+        # (|level x quant| ≲ 2500): beyond it the shipping libwebp's
+        # SIMD transform wraps IDCT intermediates at int16 where the
+        # RFC's C semantics (and this decoder) do not — real encoders
+        # never produce such magnitudes, so the corpus stays in the
+        # regime where libwebp is a valid bit-exact oracle
+        from geotiff_spark.functions.vp8_tables import AC_QLOOKUP
+        qi = int(r.integers(0, 112))
+        mag = max(2, min(40, 2500 // AC_QLOOKUP[qi]))
         coeffs = {}
         for my in range(mb_h):
             for mx in range(mb_w):
                 if r.uniform() < 0.3:
                     continue  # skipped MB
                 coeffs[(my, mx)] = {
-                    "y2": [int(v) for v in r.integers(-12, 12, 16)],
-                    "y": [[int(v) for v in r.integers(-50, 50, 16)]
+                    "y2": [int(v) for v in r.integers(-6, 6, 16)],
+                    "y": [[int(v) for v in r.integers(-mag, mag, 16)]
                           for _ in range(16)],
-                    "u": [[int(v) for v in r.integers(-25, 25, 16)]
+                    "u": [[int(v) for v in r.integers(-mag, mag, 16)]
                           for _ in range(4)],
-                    "v": [[int(v) for v in r.integers(-25, 25, 16)]
+                    "v": [[int(v) for v in r.integers(-mag, mag, 16)]
                           for _ in range(4)],
                 }
         payload = wrap_webp(encode_intra_frame(
             width=w_out, height=h_out, ymode_grid=ymodes,
             bmode_grid=bmodes, uvmode_grid=uvmodes,
-            y_ac_qi=int(r.integers(0, 112)),
+            y_ac_qi=qi,
             filter_level=int(r.integers(0, 64)),
             filter_simple=int(mid % 4 == 1),
             sharpness=int(r.integers(0, 8)),

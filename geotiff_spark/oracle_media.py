@@ -401,6 +401,9 @@ def webp_image_features_sql() -> str:
 
 
 N_WEBP_LOSSY = 120
+WEBP_LOSSY_V = 2  # v2: crafted-arm magnitudes bounded to the
+# real-encoder envelope (beyond it SIMD libwebp wraps IDCT
+# intermediates at int16 and stops being a valid oracle)
 
 
 def webp_lossy_feature_table() -> str:
@@ -416,8 +419,8 @@ def webp_lossy_feature_table() -> str:
     from geotiff_spark.functions.vp8 import decode_webp_lossy_yuv
     from geotiff_spark.operators.multimodal import synth_webp_lossy_row
 
-    path = f"{ORACLE_DIR}/webp_lossy_features_v{MEDIA_V}.parquet"
-    marker = f"{ORACLE_DIR}/_WEBP_LOSSY_DONE_{N_WEBP_LOSSY}_v{MEDIA_V}"
+    path = f"{ORACLE_DIR}/webp_lossy_features_v{WEBP_LOSSY_V}.parquet"
+    marker = f"{ORACLE_DIR}/_WEBP_LOSSY_DONE_{N_WEBP_LOSSY}_v{WEBP_LOSSY_V}"
     if os.path.exists(marker):
         return path
     os.makedirs(ORACLE_DIR, exist_ok=True)
