@@ -6,6 +6,9 @@ exact baselines instead)."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1175,54 +1178,70 @@ def q_rep_signals(spark, sf_dir):
 def rep_signals_frame(docs):
     """Repetition signals over any (doc_id, text) frame — the engine
     core of :func:`q_rep_signals`, also benched over the 2M-row
-    synthetic pages corpus (bench.py)."""
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    synthetic pages corpus (bench.py).
 
-    def grams(n):
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array())
+    Round 8: the five integer counts come from ONE Arrow batch pass
+    (guide §4.2). The previous all-JVM form re-derived the token array
+    five times per row and folded the top-bigram run through an
+    interpreted higher-order aggregate (~24 s at 2M pages); one Python
+    dict-count per doc over the same tokens is ~5× cheaper and still
+    row-local — zero shuffle either way. The token split is the
+    explicit Java-\\s class [ \\t\\n\\x0B\\f\\r] so Python re and Java
+    regex tokenize identically by construction; every count is an
+    exact integer, and the fraction arithmetic (division + round)
+    stays in the SAME JVM expressions as before, so the output doubles
+    are bit-identical to the previous form and to the oracle
+    (equality pinned by tests/test_plan_shapes.py semantics test and
+    the rep_signals oracle gate)."""
+    import re
 
-    # The most-frequent-bigram count is ROW-LOCAL: every gram of a doc
-    # lives in that doc's own array, so sort the array and take the
-    # longest equal-run — one JVM codegen expression, ZERO shuffle.
-    # (The original explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
-    # form moved ~40 grams/page through two exchanges and a join:
-    # ~290 s at 2M pages vs ~12 s for this, same oracle.)
-    def top_run(arr):
-        return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
-            F.aggregate(
-                F.array_sort(arr),
-                F.struct(
-                    F.lit("").alias("prev"),
-                    F.lit(0).alias("run"),
-                    F.lit(0).alias("best"),
-                ),
-                lambda acc, x: F.struct(
-                    x.alias("prev"),
-                    F.when(x == acc.prev, acc.run + 1)
-                    .otherwise(F.lit(1)).alias("run"),
-                    F.greatest(
-                        acc.best,
-                        F.when(x == acc.prev, acc.run + 1)
-                        .otherwise(F.lit(1)),
-                    ).alias("best"),
-                ),
-                lambda acc: acc.best,
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<n2:long,d2:long,n3:long,d3:long,top:long>")
+    def counts_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        for texts in it:
+            n2 = []
+            d2 = []
+            n3 = []
+            d3 = []
+            top = []
+            for t in texts:
+                toks = [w for w in ws.split(t) if w] if t is not None else []
+                n = len(toks)
+                if n >= 2:
+                    cnt: dict = {}
+                    for p in zip(toks, toks[1:]):
+                        cnt[p] = cnt.get(p, 0) + 1
+                    n2.append(n - 1)
+                    d2.append(len(cnt))
+                    top.append(max(cnt.values()))
+                else:
+                    n2.append(0)
+                    d2.append(0)
+                    top.append(0)
+                if n >= 3:
+                    n3.append(n - 2)
+                    d3.append(len(set(zip(toks, toks[1:], toks[2:]))))
+                else:
+                    n3.append(0)
+                    d3.append(0)
+            yield pd.DataFrame(
+                {"n2": n2, "d2": d2, "n3": n3, "d3": d3, "top": top}
             )
-        )
 
+    # nondeterministic: forbids alias-inlining the UDF into each field
+    # extraction, which would re-plan the batch pass once per projected
+    # column (same pathology as dedup.minhash_signatures, round 4)
     base = docs.select(
+        "doc_id", counts_udf.asNondeterministic()(F.col("text")).alias("c")
+    ).select(
         "doc_id",
-        F.size(grams(2)).alias("n_2g"),
-        F.size(F.array_distinct(grams(2))).alias("d_2g"),
-        F.size(grams(3)).alias("n_3g"),
-        F.size(F.array_distinct(grams(3))).alias("d_3g"),
-        top_run(grams(2)).alias("top_c"),
+        F.col("c.n2").alias("n_2g"),
+        F.col("c.d2").alias("d_2g"),
+        F.col("c.n3").alias("n_3g"),
+        F.col("c.d3").alias("d_3g"),
+        F.col("c.top").alias("top_c"),
     )
     return base.select(
         "doc_id",
