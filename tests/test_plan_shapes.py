@@ -286,17 +286,58 @@ def test_bloom_words_probe_shuffles_integers_only(spark):
 
 
 def test_exact_substring_dedup_single_digest_scan(spark):
-    """ExactSubstr's fingerprint explode must run ONCE (r06 VERDICT:
-    the old groupBy+join shape computed and exchanged it twice): one
-    Generate, and the only full-volume exchange is the digest hash
-    partitioning feeding the window count. Winnowed mode keeps the
-    same single-Generate shape."""
+    """ExactSubstr's fingerprint pass must run ONCE and be map-only
+    (r06 VERDICT: the old groupBy+join shape computed and exchanged it
+    twice): exhaustive mode is one Generate / zero Exchange, winnowed
+    mode one MapInPandas / zero Generate / zero Exchange. Round 8:
+    duplicate detection over the once-materialized fingerprints must be
+    the partial-aggregatable groupBy(d).count + left-semi join — never
+    a count-over-Window, which has no map-side combine and lands every
+    copy of a hot digest on one task (r07 VERDICT #1)."""
     from geotiff_spark.operators import dedup
 
     df = spark.createDataFrame(
         [(0, "a" * 120), (1, "b" * 120)], ["doc_id", "text"])
-    for kw in ({}, {"winnow": 5}):
+    for kw, node in (({}, "Generate"), ({"winnow": 5}, "MapInPandas")):
+        fpplan = _plan(dedup.substring_fingerprints(df, k=50, **kw))
+        assert fpplan.count(node) == 1, f"{kw}\n{fpplan}"
+        assert "Exchange" not in fpplan, fpplan
         plan = _plan(dedup.exact_substring_dedup(df, k=50, **kw))
-        n_gen = plan.count("Generate")
-        assert n_gen == 1, f"{kw}: {n_gen} Generates\n{plan}"
-        assert plan.count("Exchange") <= 3, plan
+        # fingerprints are localCheckpointed: exactly one scan, and the
+        # downstream plan reads the materialized RDD, not a re-explode
+        assert "Generate" not in plan and "MapInPandas" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "partial_count" in plan, plan
+        assert "LeftSemi" in plan, plan
+
+
+def test_exact_substring_dedup_hot_digest_drill(spark):
+    """Boilerplate storm (r07 VERDICT #1 drill): one shared k-window
+    repeated across MANY docs must still excise correctly — the digest
+    count collapses the hot digest map-side (partial_count pinned
+    above), and the semi-join back is AQE-skew-splittable. 3000 docs
+    all carrying the same 20-char header + unique tails: the header
+    span is removed from every doc, tails survive."""
+    import pandas as pd
+
+    from geotiff_spark.operators import dedup
+
+    k, w = 20, 5
+    header = "HOT-BOILERPLATE-HDR!"  # exactly k chars
+    assert len(header) == k
+    n = 3000
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [header + format(i, "08d") + format(i * 7, "08d")
+                 for i in range(n)],
+    })
+    df = spark.createDataFrame(docs)
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(df, k=k, winnow=w).collect()}
+    assert len(out) == n
+    # every doc loses at least the shared header; the unique tail's
+    # windows straddle header+tail or tail-only content and are unique
+    # to the doc, so removal never reaches the final 8 chars
+    for i in (0, 1, n // 2, n - 1):
+        assert out[i]["n_removed"] >= k, out[i]
+        assert out[i]["cleaned_len"] > 0, out[i]
