@@ -251,6 +251,7 @@ def lsh_near_dup_pairs(
     n_planes: int = 3,
     n_tables: int = 32,
     max_inline_bucket: int = 512,
+    max_local_bucket: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via sign-LSH self-bucketing + exact
     verify — the scale form of embedding near-dup detection.
@@ -274,23 +275,97 @@ def lsh_near_dup_pairs(
     by 100-1000× while holding recall. The parameters scale the knob; the
     plan shape (map → bucket shuffle → verify candidates) is invariant
     and never materializes the cross product.
-    """
-    from geotiff_spark.operators.dedup import bucket_candidate_pairs
 
-    bu = bucket_udf(dim, n_planes, n_tables)
+    Round 8 verify shape: candidates are verified INSIDE their bucket
+    group (one blocked BLAS cosine per bucket, applyInPandas) instead
+    of materializing a pair stream and re-attaching both vectors to
+    every pair row — at sf1.0/threshold 0.9 that pair plane was ~33M
+    rows carrying 2×512-byte vectors each (~33 GB across the Arrow
+    boundary, plus a full-width distinct exchange); bucket-local
+    verify exchanges each vector once per table (~0.7 GB) and dedups
+    only the SURVIVORS across tables. Buckets above max_local_bucket
+    fall back to the streamed pair self-join + per-pair einsum verify
+    (never an m×m matrix in one task's memory beyond the cap), and
+    both arms merge through the same survivor dedup. Numerics: norms
+    are the same einsum as before; the dot moves from a per-pair-row
+    einsum to a blocked matmul, which can differ by ulps (~1e-15) —
+    six-decimal rounding and the corpora's measured 1e-11 margin to
+    any rounding boundary make the output bit-identical (oracle
+    hash-pinned at sf0.01, equality-checked vs the pair-stream form
+    at sf0.1/sf1.0).
+    """
+    key_dt = corpus.schema[key].dataType.simpleString()
     stacked = corpus.select(
-        F.col(key), F.explode(bu(F.col(vec))).alias("bucket")
+        F.col(key).alias("id"), F.col(vec).alias("v"),
+        F.explode(bucket_udf(dim, n_planes, n_tables)(F.col(vec))).alias(
+            "bucket"
+        ),
+    # materialized once: the size census, the group verify and the big-
+    # bucket arm all read it (single-host caveat as elsewhere)
+    ).localCheckpoint(eager=True)
+    sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("m"))
+    big_keys = sizes.filter(F.col("m") > max_local_bucket).select("bucket")
+    small_rows = stacked.join(F.broadcast(big_keys), "bucket", "left_anti")
+    big_rows = stacked.join(F.broadcast(big_keys), "bucket")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        ids = pdf["id"].to_numpy()
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0],
+                 "cos": np.array([], dtype=np.float64)}
+            )
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        out_a, out_b, out_c = [], [], []
+        # row blocks bound the sims slab to block×m doubles
+        block = max(1, (1 << 22) // max(m, 1))
+        for s in range(0, m - 1, block):
+            e = min(s + block, m - 1)
+            sims = mat[s:e] @ mat.T
+            cos = sims / (norms[s:e, None] * norms[None, :])
+            bi, bj = np.nonzero(cos >= threshold)
+            gi = bi + s
+            keep = bj > gi  # upper triangle only: each pair once
+            gi, bj = gi[keep], bj[keep]
+            out_a.append(ids[gi])
+            out_b.append(ids[bj])
+            out_c.append(cos[gi - s, bj])
+        ia = np.concatenate(out_a) if out_a else ids[:0]
+        ib = np.concatenate(out_b) if out_b else ids[:0]
+        cc = (np.concatenate(out_c) if out_c
+              else np.array([], dtype=np.float64))
+        swap = ia > ib
+        return pd.DataFrame({
+            "id_a": np.where(swap, ib, ia),
+            "id_b": np.where(swap, ia, ib),
+            "cos": cc,
+        })
+
+    small_pairs = small_rows.groupBy("bucket").applyInPandas(
+        kern, f"id_a {key_dt}, id_b {key_dt}, cos double"
     )
-    cand = bucket_candidate_pairs(stacked, key, ["bucket"], max_inline_bucket)
-    a = corpus.select(F.col(key).alias("id_a"), F.col(vec).alias("va"))
-    b = corpus.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        # bulk verify: one Arrow einsum per batch (see cosine_batch_udf
-        # notes on fold-order safety vs the rounded output)
+    ba = big_rows.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    bb = big_rows.select(
+        "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    big_pairs = (
+        ba.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine_batch_udf()(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    # survivor dedup across tables/arms: every emission of a pair is the
+    # same cosine up to ulps (blocked-matmul blocking varies with bucket
+    # membership), min() is deterministic and rounding absorbs the ulps
+    return (
+        small_pairs.unionByName(big_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cos").alias("cos"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 

@@ -142,19 +142,21 @@ def test_chunk_dedup_first_occurrence_is_partial_aggregatable(spark):
 
 
 def test_embedding_verify_stage_single_python_eval(spark):
-    """Round-5 re-adjudication of the round-4 `asNondeterministic` flag
-    on cosine_batch_udf (VERDICT r04 next-round #5): with the flag, the
-    verify stage scores each candidate ONCE (1 ArrowEvalPython); a
-    deterministic UDF gets alias-inlined into both the threshold filter
-    and the round() projection and extracted into TWO ArrowEvalPython
-    stages re-scoring every candidate twice (measured interleaved
-    same-session: warm 2.5-3.2s vs 3.5-3.8s on
-    embedding_near_dups_planted at sf0.1 — see PLANS.md)."""
+    """Round-8 bucket-local verify shape: normal buckets verify inside
+    their group (ONE FlatMapGroupsInPandas — vectors cross the Arrow
+    boundary once per table, never twice per candidate pair), and the
+    big-bucket fallback arm carries exactly ONE ArrowEvalPython
+    (cosine_batch_udf stays asNondeterministic so the threshold filter
+    + round projection cannot re-plan it twice — VERDICT r04 #5). No
+    full-width candidate distinct: dedup happens on survivors only
+    (partial_min below the pair-keyed exchange)."""
     from geotiff_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(lsh_near_dup_pairs(emb, threshold=0.4))
     assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "partial_min" in plan, plan
 
 
 def test_rep_signals_plan_is_pure_scan(spark):
