@@ -58,7 +58,13 @@ DEFAULT_MERGES: list[tuple[str, str]] = [
 # containing the separator would silently diverge (ADVICE r06). Treating
 # it as a word boundary on BOTH sides makes the equivalence precondition
 # structural instead of an assumption about the corpus.
-_WORD_SEP = r"[\s\u001F]+"
+# The whitespace class is spelled EXPLICITLY (ADVICE r07): Java-regex
+# \s includes U+000B (vertical tab) while RE2's \s — what the oracle's
+# string_split_regex uses — does not, so a \x0B-carrying document would
+# tokenize differently on the two sides under \s. This class is exactly
+# RE2's \s plus the U+001F guard; current corpora carry no \x0B, so
+# existing hashes are unchanged.
+_WORD_SEP = r"[ \t\n\f\r\u001F]+"
 
 
 def bpe_train(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:

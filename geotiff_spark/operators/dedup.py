@@ -270,35 +270,12 @@ def minhash_signatures(
     )
 
 
-def _ensure_map_parallelism(df: DataFrame) -> DataFrame:
-    """Fix DEGENERATE input partitioning before a CPU-heavy map stage.
-
-    A small/unsplittable source (one parquet row group) plans as a
-    handful of partitions, serializing the Python stage no matter how
-    many cores exist (measured: sf0.1 documents.parquet = 1 row group →
-    the whole signature stage on one core, 4s instead of ~0.3s on 32).
-    Repartition ONLY when the scan yields fewer than half the cluster's
-    default parallelism — at production scale a 100 TB scan has orders of
-    magnitude more splits than cores and this is a no-op with zero
-    shuffle; when it does fire, the shuffled bytes are by construction
-    tiny (the input was under a few row groups). This is the same
-    philosophy as AQE's coalescing, in the opposite direction — AQE
-    cannot ADD parallelism to an unsplittable scan.
-
-    Round-4 note: a data-size-proportional target (1 task / 4 MB) was
-    measured AGAINST full fan-out on the sf0.1 minhash pipeline in an
-    interleaved A/B — fan-out to defaultParallelism won at every width
-    (min wall 5.5 s at 32 parts vs 11.1 s at 4 vs ~7 s single-task-ish),
-    so the per-row Python cost dominates the per-task wave overhead and
-    the core-count target stays. The 4.3–9.1 s bench spread VERDICT r3
-    flagged reproduces as whole-run co-tenant bursts (identical runs
-    5.5 s → 119 s inside one session with load spikes), not as any one
-    engine stage — see PLANS.md §7."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 1):
-        return df.repartition(target)
-    return df
+# ensure_map_parallelism moved to plans.partitioning (round 8): the same
+# degenerate-scan fan-out now also protects the documents/embeddings
+# table reads in the query registry, not just the signature stages.
+from geotiff_spark.plans.partitioning import (  # noqa: E402
+    ensure_map_parallelism as _ensure_map_parallelism,
+)
 
 
 def bucket_candidate_pairs(

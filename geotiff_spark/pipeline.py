@@ -36,7 +36,16 @@ AUSTRIAN_RASTER = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # single-row-group source → 1-partition scan → every pandas-UDF
+        # stage of the spatial pipeline (PIP refine, LAEA projection,
+        # raster gather) would run on one core (guide §2.5); no-op when
+        # the scan already has parallelism
+        from geotiff_spark.plans.partitioning import ensure_map_parallelism
+
+        df = ensure_map_parallelism(df)
+    return df
 
 
 def geo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

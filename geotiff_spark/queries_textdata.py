@@ -16,7 +16,18 @@ from geotiff_spark.operators import dedup, packing, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # these two tables carry the heavy per-row compute (regex/UDF/
+        # cosine kernels) but ship as ONE parquet row group at every sf,
+        # so the scan plans a single partition and serializes every
+        # downstream map stage on one core (guide §2.5 input skew). The
+        # fan-out is a no-op whenever the scan already has real
+        # parallelism — a 100 TB table never triggers it.
+        from geotiff_spark.plans.partitioning import ensure_map_parallelism
+
+        df = ensure_map_parallelism(df)
+    return df
 
 
 # ---- dedup -------------------------------------------------------------------
