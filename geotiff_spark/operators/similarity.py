@@ -304,36 +304,67 @@ def lsh_near_dup_pairs(
     # bucket arm all read it (single-host caveat as elsewhere)
     ).localCheckpoint(eager=True)
     sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("m"))
-    big_keys = sizes.filter(F.col("m") > max_local_bucket).select("bucket")
-    small_rows = stacked.join(F.broadcast(big_keys), "bucket", "left_anti")
-    big_rows = stacked.join(F.broadcast(big_keys), "bucket")
+    # bounded driver scalar (the census runs on the checkpointed frame):
+    # when no bucket exceeds the cap — the common case — the fallback
+    # arm is dropped from the plan entirely instead of scheduling three
+    # empty stages across every shuffle partition
+    max_m = sizes.agg(F.max("m")).collect()[0][0] or 0
+    if max_m > max_local_bucket:
+        big_keys = sizes.filter(
+            F.col("m") > max_local_bucket
+        ).select("bucket")
+        small_rows = stacked.join(
+            F.broadcast(big_keys), "bucket", "left_anti"
+        )
+        big_rows = stacked.join(F.broadcast(big_keys), "bucket")
+    else:
+        small_rows = stacked
+        big_rows = None
+
+    # verify groups CONSOLIDATE many buckets (deterministic hash of the
+    # bucket id — guide §2.5 forbids rand-derived keys): applyInPandas
+    # pays a per-group Arrow round trip, and grouping by raw bucket id
+    # meant ~32k tiny groups whose fixed costs dominated small corpora
+    # (sf0.1 planted: 11.0 s vs 3.7 s for the old pair stream). ~8
+    # groups per core amortizes that while the kernel still verifies
+    # strictly WITHIN each bucket.
+    n_groups = corpus.sparkSession.sparkContext.defaultParallelism * 8
+    grouped = small_rows.withColumn(
+        "_vg", F.pmod(F.xxhash64("bucket"), F.lit(n_groups))
+    )
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        ids = pdf["id"].to_numpy()
-        if m < 2:
-            return pd.DataFrame(
-                {"id_a": ids[:0], "id_b": ids[:0],
-                 "cos": np.array([], dtype=np.float64)}
-            )
-        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        bkt = pdf["bucket"].to_numpy()
+        order = np.argsort(bkt, kind="stable")
+        bkt_s = bkt[order]
+        ids_all = pdf["id"].to_numpy()[order]
+        v_all = pdf["v"].to_numpy()[order]
+        bounds = np.nonzero(
+            np.r_[True, bkt_s[1:] != bkt_s[:-1], True]
+        )[0]
         out_a, out_b, out_c = [], [], []
-        # row blocks bound the sims slab to block×m doubles
-        block = max(1, (1 << 22) // max(m, 1))
-        for s in range(0, m - 1, block):
-            e = min(s + block, m - 1)
-            sims = mat[s:e] @ mat.T
-            cos = sims / (norms[s:e, None] * norms[None, :])
-            bi, bj = np.nonzero(cos >= threshold)
-            gi = bi + s
-            keep = bj > gi  # upper triangle only: each pair once
-            gi, bj = gi[keep], bj[keep]
-            out_a.append(ids[gi])
-            out_b.append(ids[bj])
-            out_c.append(cos[gi - s, bj])
-        ia = np.concatenate(out_a) if out_a else ids[:0]
-        ib = np.concatenate(out_b) if out_b else ids[:0]
+        for gs, ge in zip(bounds[:-1], bounds[1:]):
+            m = ge - gs
+            if m < 2:
+                continue
+            ids = ids_all[gs:ge]
+            mat = np.vstack(v_all[gs:ge]).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            # row blocks bound the sims slab to block×m doubles
+            block = max(1, (1 << 22) // m)
+            for s in range(0, m - 1, block):
+                e = min(s + block, m - 1)
+                sims = mat[s:e] @ mat.T
+                cos = sims / (norms[s:e, None] * norms[None, :])
+                bi, bj = np.nonzero(cos >= threshold)
+                gi = bi + s
+                keep = bj > gi  # upper triangle only: each pair once
+                gi, bj = gi[keep], bj[keep]
+                out_a.append(ids[gi])
+                out_b.append(ids[bj])
+                out_c.append(cos[gi - s, bj])
+        ia = (np.concatenate(out_a) if out_a else ids_all[:0])
+        ib = (np.concatenate(out_b) if out_b else ids_all[:0])
         cc = (np.concatenate(out_c) if out_c
               else np.array([], dtype=np.float64))
         swap = ia > ib
@@ -343,27 +374,32 @@ def lsh_near_dup_pairs(
             "cos": cc,
         })
 
-    small_pairs = small_rows.groupBy("bucket").applyInPandas(
+    small_pairs = grouped.groupBy("_vg").applyInPandas(
         kern, f"id_a {key_dt}, id_b {key_dt}, cos double"
     )
-    ba = big_rows.select(
-        "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    bb = big_rows.select(
-        "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
-    big_pairs = (
-        ba.join(bb, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_batch_udf()(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
-    )
+    all_pairs = small_pairs
+    if big_rows is not None:
+        ba = big_rows.select(
+            "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+        )
+        bb = big_rows.select(
+            "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        )
+        big_pairs = (
+            ba.join(bb, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos", cosine_batch_udf()(F.col("va"), F.col("vb"))
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+        all_pairs = small_pairs.unionByName(big_pairs)
     # survivor dedup across tables/arms: every emission of a pair is the
     # same cosine up to ulps (blocked-matmul blocking varies with bucket
     # membership), min() is deterministic and rounding absorbs the ulps
     return (
-        small_pairs.unionByName(big_pairs)
+        all_pairs
         .groupBy("id_a", "id_b")
         .agg(F.min("cos").alias("cos"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))

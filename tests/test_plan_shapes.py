@@ -154,9 +154,16 @@ def test_embedding_verify_stage_single_python_eval(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(lsh_near_dup_pairs(emb, threshold=0.4))
-    assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "partial_min" in plan, plan
+    # no bucket exceeds the cap on this corpus, so the big-bucket
+    # fallback arm must be pruned from the plan entirely
+    assert plan.count("ArrowEvalPython") == 0, plan
+    # force the fallback arm with a tiny cap: exactly one einsum verify
+    forced = _plan(lsh_near_dup_pairs(emb, threshold=0.4,
+                                      max_local_bucket=2))
+    assert forced.count("ArrowEvalPython") == 1, forced
+    assert forced.count("FlatMapGroupsInPandas") == 1, forced
 
 
 def test_rep_signals_plan_is_pure_scan(spark):
