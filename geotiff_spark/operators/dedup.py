@@ -841,7 +841,15 @@ def exact_substring_dedup(
     # semi-join probe read this frame (without it the fingerprint stage
     # would run per consumer — the r06 double-compute). Single-host
     # caveat as elsewhere: on a real cluster use reliable checkpoint().
-    win = win.localCheckpoint(eager=True)
+    # DISK_ONLY: this frame is 10^7 rows per 2M-page call — deserialized
+    # on-heap blocks from repeated calls pressured every later query in
+    # the suite (measured: bloom/chunk/pages-steady all degraded ~1.5×
+    # after the substring entries ran), and serialized disk blocks read
+    # back at local-SSD speed for the two immediate consumers.
+    from pyspark import StorageLevel
+
+    win = win.localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY)
     dup_d = (
         win.groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
@@ -301,8 +302,12 @@ def lsh_near_dup_pairs(
             "bucket"
         ),
     # materialized once: the size census, the group verify and the big-
-    # bucket arm all read it (single-host caveat as elsewhere)
-    ).localCheckpoint(eager=True)
+    # bucket arm all read it (single-host caveat as elsewhere).
+    # DISK_ONLY: vectors × n_tables is the biggest frame this operator
+    # holds — keeping it out of the heap stops repeated calls from
+    # squeezing every later query's execution memory (see the matching
+    # note in exact_substring_dedup).
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("m"))
     # bounded driver scalar (the census runs on the checkpointed frame):
     # when no bucket exceeds the cap — the common case — the fallback
