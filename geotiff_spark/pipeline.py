@@ -35,22 +35,32 @@ AUSTRIAN_RASTER = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               parallel: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
+    if parallel and name == "documents":
         # single-row-group source → 1-partition scan → every pandas-UDF
         # stage of the spatial pipeline (PIP refine, LAEA projection,
         # raster gather) would run on one core (guide §2.5); no-op when
-        # the scan already has parallelism
+        # the scan already has parallelism. parallel=False opts a
+        # JVM-light caller (one cheap expression + an aggregation that
+        # shuffles anyway) out of the extra exchange.
         from geotiff_spark.plans.partitioning import ensure_map_parallelism
 
         df = ensure_map_parallelism(df)
     return df
 
 
-def geo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + deterministic (lat, lon) — pure JVM expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+def geo_documents_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_documents without the degenerate-scan fan-out — for
+    JVM-codegen-only consumers (cell assign/compact) where the per-row
+    work is a handful of integer ops and the downstream aggregation
+    reshuffles anyway, so the fan-out exchange is pure overhead."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    return _with_latlon(docs)
+
+
+def _with_latlon(docs: DataFrame) -> DataFrame:
     return docs.withColumn(
         "lat",
         F.lit(36.0) + ((F.col("doc_id") * F.lit(2654435761)) % F.lit(220000)) / F.lit(10000.0),
@@ -58,6 +68,11 @@ def geo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         F.lit(-10.0) + ((F.col("doc_id") * F.lit(40503) + F.lit(7)) % F.lit(400000)) / F.lit(10000.0),
     )
+
+
+def geo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic (lat, lon) — pure JVM expressions."""
+    return _with_latlon(load_table(spark, sf_dir, "documents"))
 
 
 def geo_documents_with_cell(spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES) -> DataFrame:

@@ -195,7 +195,10 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     as chained CTEs (compact_oracle_sql)."""
     from geotiff_spark.operators.compact import compact_cells
 
-    docs = pipeline.geo_documents(spark, sf_dir)
+    # _light: the grid derivation is a handful of integer ops and the
+    # distinct reshuffles anyway — the degenerate-scan fan-out would be
+    # a pure extra exchange here (see pipeline.geo_documents_light)
+    docs = pipeline.geo_documents_light(spark, sf_dir)
     n = 1 << 7
     grid = docs.select(
         F.least(

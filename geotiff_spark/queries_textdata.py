@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 from geotiff_spark.operators import dedup, packing, similarity, textstats
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       parallel: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if parallel and name in ("documents", "embeddings"):
         # these two tables carry the heavy per-row compute (regex/UDF/
         # cosine kernels) but ship as ONE parquet row group at every sf,
         # so the scan plans a single partition and serializes every
@@ -33,7 +34,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---- dedup -------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    # parallel=False: one md5 per row feeding a digest groupBy that
+    # reshuffles anyway — the degenerate-scan fan-out exchange would be
+    # pure overhead for this query
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents", parallel=False))
 
 
 SQL_EXACT_DEDUP = """
